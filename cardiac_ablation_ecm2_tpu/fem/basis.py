@@ -1,0 +1,262 @@
+"""Nodal finite-element bases.
+
+Reference analog: ``fem/fe/`` (31.5k LoC of per-geometry basis classes) and
+``DofToQuad`` — the B/G basis-evaluation matrices with TENSOR (1D factors) and
+FULL modes (``fem/fe/fe_base.hpp:140,153-170``).  TENSOR mode is the
+sum-factorization path (MXU einsums); FULL mode is the dense per-element path
+used for simplices (batched matmul — also MXU-friendly).
+
+TPU-native design: a basis is *data*, not a class hierarchy — a lattice of
+nodal points plus dense evaluation matrices, computed host-side in float64.
+
+* Tensor geometries (segment/quad/hex): H1 nodes are Gauss-Lobatto points per
+  direction (matching ``H1_FECollection``'s default GaussLobatto nodal basis,
+  ``fem/fe_coll.hpp:278``); only the 1D matrices ``B1 (nq1d, p+1)`` and
+  ``G1`` are stored.
+* Simplices (tri/tet): equispaced lattice nodes, full ``B (nq, nd)`` /
+  ``G (nq, nd, dim)`` matrices from a monomial Vandermonde solve (orders ≤ 6).
+
+Local dof ordering is **lexicographic** everywhere (the reference's
+``ElementDofOrdering::LEXICOGRAPHIC``, ``fem/fespace.hpp:47``): for tensor
+elements dof = i + n1d*(j + n1d*k); for simplices lattice points sorted by
+(k, j, i) with i fastest, i+j+k ≤ p.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .geometry import Geometry, IS_TENSOR, DIMENSION
+from .intrules import gauss_legendre_1d, gauss_lobatto_1d, simplex_rule, tensor_rule
+
+
+# ----------------------------------------------------------------------------
+# 1D Lagrange machinery
+# ----------------------------------------------------------------------------
+
+
+def lagrange_matrices(nodes: np.ndarray, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Evaluate the Lagrange basis through ``nodes`` at points ``x``.
+
+    Returns ``(B, G)`` with ``B[q, i] = L_i(x_q)`` and ``G[q, i] = L_i'(x_q)``.
+    Uses a monomial Vandermonde solve — exact at nodes, well-conditioned for
+    the n ≤ ~9 node counts (order ≤ 8) this library targets.
+    """
+    nodes = np.asarray(nodes, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    n = len(nodes)
+    V = np.vander(nodes, n, increasing=True)  # V[i, j] = nodes_i^j
+    C = np.linalg.solve(V, np.eye(n))  # C[:, i] = coeffs of L_i
+    P = np.vander(x, n, increasing=True)
+    dP = np.zeros_like(P)
+    dP[:, 1:] = P[:, :-1] * np.arange(1, n)
+    return P @ C, dP @ C
+
+
+@functools.lru_cache(maxsize=None)
+def h1_nodes_1d(p: int) -> np.ndarray:
+    """H1 nodal points on [0,1] for order p: Gauss-Lobatto (p+1 points)."""
+    x, _ = gauss_lobatto_1d(p + 1)
+    return x
+
+
+@functools.lru_cache(maxsize=None)
+def l2_nodes_1d(p: int) -> np.ndarray:
+    """L2 (discontinuous) nodal points on [0,1]: Gauss-Legendre (p+1 points)."""
+    x, _ = gauss_legendre_1d(p + 1)
+    return x
+
+
+# ----------------------------------------------------------------------------
+# Lattices and multi-indices
+# ----------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def lattice_multi_index(geom: Geometry, p: int) -> np.ndarray:
+    """Integer lattice multi-indices of the local nodal points, lex-ordered.
+
+    Tensor geometries: all (i[,j[,k]]) in [0,p]^dim, i fastest.
+    Simplices: (i[,j[,k]]) with sum ≤ p, i fastest.
+    Shape (nd, dim), int64.
+    """
+    dim = DIMENSION[geom]
+    if IS_TENSOR.get(geom, False) or geom == Geometry.SEGMENT:
+        rng = np.arange(p + 1)
+        grids = np.meshgrid(*([rng] * dim), indexing="ij")
+        idx = np.stack([g.ravel(order="F") for g in grids], axis=1)
+        return idx
+    if geom == Geometry.TRIANGLE:
+        out = [(i, j) for j in range(p + 1) for i in range(p + 1 - j)]
+        return np.array(out, dtype=np.int64)
+    if geom == Geometry.TETRAHEDRON:
+        out = [
+            (i, j, k)
+            for k in range(p + 1)
+            for j in range(p + 1 - k)
+            for i in range(p + 1 - j - k)
+        ]
+        return np.array(out, dtype=np.int64)
+    raise ValueError(f"unsupported geometry {geom}")
+
+
+@functools.lru_cache(maxsize=None)
+def h1_nodes(geom: Geometry, p: int) -> np.ndarray:
+    """Reference coordinates of the local H1 nodal points, lex-ordered (nd, dim)."""
+    mi = lattice_multi_index(geom, p)
+    if IS_TENSOR.get(geom, False) or geom == Geometry.SEGMENT:
+        x1 = h1_nodes_1d(p)
+        return x1[mi]
+    # simplices: equispaced lattice
+    return mi.astype(np.float64) / max(p, 1)
+
+
+# ----------------------------------------------------------------------------
+# DofToQuad
+# ----------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # eq=False: id-hash (cached objects)
+class DofToQuad:
+    """Basis evaluation data at a quadrature rule (fem/fe/fe_base.hpp:140).
+
+    ``tensor=True``  → ``B1 (nq1d, n1d)``, ``G1 (nq1d, n1d)`` 1D factors; the
+    full maps are Kronecker products realized as einsum contractions.
+    ``tensor=False`` → ``B (nq, nd)``, ``G (nq, nd, dim)`` dense.
+    Quadrature points/weights for the rule are included (numpy, float64).
+    """
+
+    geom: Geometry
+    order: int
+    tensor: bool
+    points: np.ndarray   # (nq, dim)
+    weights: np.ndarray  # (nq,)
+    B1: Optional[np.ndarray] = None
+    G1: Optional[np.ndarray] = None
+    B: Optional[np.ndarray] = None
+    G: Optional[np.ndarray] = None
+
+    @property
+    def dim(self) -> int:
+        return DIMENSION[self.geom]
+
+    @property
+    def nq1d(self) -> int:
+        return 0 if self.B1 is None else self.B1.shape[0]
+
+    @property
+    def n1d(self) -> int:
+        return 0 if self.B1 is None else self.B1.shape[1]
+
+    @property
+    def ndof(self) -> int:
+        if self.tensor:
+            return self.n1d ** self.dim
+        return self.B.shape[1]
+
+    @property
+    def nq(self) -> int:
+        return len(self.weights)
+
+    def full_B(self) -> np.ndarray:
+        """Densify to (nq, nd) — used by tests and the FULL-mode fallback."""
+        if not self.tensor:
+            return self.B
+        return _lex_kron(self.B1, self.dim, deriv_axis=None)
+
+    def full_G(self) -> np.ndarray:
+        """Densify gradients to (nq, nd, dim)."""
+        if not self.tensor:
+            return self.G
+        cols = [
+            _lex_kron(self.B1, self.dim, deriv_axis=d, G1=self.G1)
+            for d in range(self.dim)
+        ]
+        return np.stack(cols, axis=-1)
+
+
+def _lex_kron(B1: np.ndarray, dim: int, deriv_axis, G1=None) -> np.ndarray:
+    """Kronecker product of 1D factors under lexicographic (i-fastest) ordering.
+
+    Entry [(qx,qy,qz), (i,j,k)] = Fx[qx,i] Fy[qy,j] Fz[qz,k] where the factor
+    along ``deriv_axis`` is G1 instead of B1.
+    """
+    nq1, n1 = B1.shape
+    fac = [G1 if d == deriv_axis else B1 for d in range(dim)]
+    if dim == 1:
+        return fac[0]
+    if dim == 2:
+        # A[qy,qx,iy,ix]; C-order flatten gives row qx + nq1*qy, col ix + n1*iy
+        M = np.einsum("ai,bj->abij", fac[1], fac[0])
+        return M.reshape(nq1 * nq1, n1 * n1)
+    if dim == 3:
+        M = np.einsum("ai,bj,ck->abcijk", fac[2], fac[1], fac[0])
+        return M.reshape(nq1**3, n1**3)
+    raise ValueError(dim)
+
+
+@functools.lru_cache(maxsize=None)
+def make_dof_to_quad(
+    geom: Geometry, p: int, nq1d: Optional[int] = None, nodes: str = "h1"
+) -> DofToQuad:
+    """Build the DofToQuad data for H1/L2 order-p basis on ``geom``.
+
+    ``nq1d`` — 1D quadrature points for tensor geometries (default p+2);
+    for simplices it is interpreted as exactness order ≈ 2*nq1d-1.
+    """
+    dim = DIMENSION[geom]
+    if nq1d is None:
+        nq1d = p + 2
+    nodes_1d = h1_nodes_1d(p) if nodes == "h1" else l2_nodes_1d(p)
+    if IS_TENSOR.get(geom, False) or geom == Geometry.SEGMENT:
+        xq, _ = gauss_legendre_1d(nq1d)
+        B1, G1 = lagrange_matrices(nodes_1d, xq)
+        pts, wts = tensor_rule(dim, nq1d)
+        return DofToQuad(
+            geom=geom, order=p, tensor=True, points=pts, weights=wts, B1=B1, G1=G1
+        )
+    # simplex dense path
+    qorder = 2 * nq1d - 1
+    pts, wts = simplex_rule(dim, qorder)
+    B, G = simplex_basis_matrices(geom, p, pts)
+    return DofToQuad(
+        geom=geom, order=p, tensor=False, points=pts, weights=wts, B=B, G=G
+    )
+
+
+def simplex_basis_matrices(
+    geom: Geometry, p: int, pts: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Dense nodal basis matrices for tri/tet via monomial Vandermonde solve.
+
+    Returns B (npts, nd), G (npts, nd, dim).
+    """
+    dim = DIMENSION[geom]
+    mi = lattice_multi_index(geom, p)  # polynomial powers = lattice multi-indices
+    nodes = h1_nodes(geom, p)
+
+    def vand(x):
+        # V[a, b] = prod_d x[a,d]^mi[b,d]
+        V = np.ones((len(x), len(mi)))
+        for d in range(dim):
+            V *= x[:, d][:, None] ** mi[:, d][None, :]
+        return V
+
+    Vn = vand(nodes)
+    C = np.linalg.solve(Vn, np.eye(len(mi)))  # coeffs per basis function
+    B = vand(pts) @ C
+    G = np.zeros((len(pts), len(mi), dim))
+    for d in range(dim):
+        dmi = mi.copy()
+        pw = dmi[:, d].copy()
+        dmi[:, d] = np.maximum(pw - 1, 0)
+        dV = np.ones((len(pts), len(mi)))
+        for e in range(dim):
+            dV *= pts[:, e][:, None] ** dmi[:, e][None, :]
+        dV *= pw[None, :]
+        G[:, :, d] = dV @ C
+    return B, G

@@ -1,0 +1,402 @@
+"""Finite element spaces: global dof enumeration on a mesh.
+
+Reference analog: ``FiniteElementSpace`` (``fem/fespace.hpp:208``) +
+``ParFiniteElementSpace`` dof numbering, and the element restriction maps it
+produces (``fem/fespace.cpp:1474``).  The reference enumerates dofs through a
+web of entity tables and per-element ``DofTransformation`` orientation fixes;
+the TPU build instead derives the numbering *declaratively*: every local node
+of every element gets an integer **entity key** that is identical for
+coincident nodes of neighboring elements, and ``np.unique`` over keys yields
+the global numbering and the L↔E gather map in one shot.  Orientation
+handling (the analog of edge/face orientation tables in ``fem/fespace.cpp``)
+is folded into key canonicalization:
+
+* vertex node  → ``(VERT, global_vertex)``
+* edge node    → ``(EDGE, min_v, max_v, t)`` with the parameter ``t``
+  measured from the smaller global endpoint,
+* face node    → ``(FACE, sorted_face_verts, a, b)`` with (a, b) measured in
+  the face's canonical frame: origin at the smallest global vertex, first
+  axis toward its smaller cyclic neighbor — invariant to the 8 (quad) / 6
+  (tri) ways neighboring elements can see the face,
+* interior node→ ``(CELL, element, i, j, k)``.
+
+Everything is vectorized numpy over elements (host-side setup); the device
+only ever sees the resulting int32 ``gather_map``.
+
+Local dof ordering is lexicographic (i fastest) — see ``fem/basis.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..mesh.mesh import Mesh
+from .basis import (
+    DofToQuad,
+    h1_nodes,
+    lattice_multi_index,
+    make_dof_to_quad,
+    simplex_basis_matrices,
+    lagrange_matrices,
+    h1_nodes_1d,
+)
+from .geometry import (
+    DIMENSION,
+    EDGES,
+    FACES,
+    FACE_GEOM,
+    Geometry,
+    IS_TENSOR,
+    NUM_VERTS,
+    REF_VERTS,
+)
+
+_VERT, _EDGE, _FACE, _CELL = 0, 1, 2, 3
+_KEYLEN = 8
+
+
+def _node_index_lookup(geom: Geometry, p: int) -> Dict[Tuple[int, ...], int]:
+    mi = lattice_multi_index(geom, p)
+    return {tuple(row): n for n, row in enumerate(mi)}
+
+
+def _elem_node_keys(geom: Geometry, p: int, elem_verts: np.ndarray,
+                    elem_ids: np.ndarray) -> np.ndarray:
+    """Entity keys for all local nodes of a batch of elements.
+
+    elem_verts: (ne, nv_el) global vertex ids; elem_ids: (ne,) global element
+    ids used for interior-node keys.  Returns (ne, nd, 8) int64.
+    """
+    dim = DIMENSION[geom]
+    nd = len(lattice_multi_index(geom, p))
+    ne = elem_verts.shape[0]
+    keys = np.full((ne, nd, _KEYLEN), -1, dtype=np.int64)
+    lookup = _node_index_lookup(geom, p)
+    latt_v = np.rint(REF_VERTS[geom] * p).astype(np.int64)  # (nv_el, dim)
+    done = np.zeros(nd, dtype=bool)
+
+    # --- vertices ---
+    for lv in range(NUM_VERTS[geom]):
+        n = lookup[tuple(latt_v[lv])]
+        keys[:, n, 0] = _VERT
+        keys[:, n, 1] = elem_verts[:, lv]
+        done[n] = True
+
+    # --- edge nodes ---
+    if p >= 2:
+        for (la, lb) in EDGES[geom]:
+            A, B = latt_v[la], latt_v[lb]
+            ga, gb = elem_verts[:, la], elem_verts[:, lb]
+            lo = np.minimum(ga, gb)
+            hi = np.maximum(ga, gb)
+            flip = ga > gb            # measure t from the smaller global id
+            for t in range(1, p):
+                latt = (A * (p - t) + B * t) // p
+                n = lookup[tuple(latt)]
+                tc = np.where(flip, p - t, t)
+                keys[:, n, 0] = _EDGE
+                keys[:, n, 1] = lo
+                keys[:, n, 2] = hi
+                keys[:, n, 5] = tc
+                done[n] = True
+
+    # --- face nodes (3D) ---
+    if dim == 3 and p >= 2:
+        for fverts in FACES[geom]:
+            k = len(fverts)
+            gf = elem_verts[:, list(fverts)]          # (ne, k) global ids, cyclic
+            gsort = np.sort(gf, axis=1)
+            r = np.argmin(gf, axis=1)                 # corner with min global id
+            nxt = gf[np.arange(ne), (r + 1) % k]
+            prv = gf[np.arange(ne), (r - 1) % k]
+            d = np.where(nxt < prv, 1, -1)
+            if k == 4:
+                # face-local (u,v) lattice: u along fverts[0]→fverts[1],
+                # v along fverts[0]→fverts[3]
+                L0 = latt_v[fverts[0]]
+                du = (latt_v[fverts[1]] - L0) // p
+                dv = (latt_v[fverts[3]] - L0) // p
+                corner_uv = np.array([[0, 0], [p, 0], [p, p], [0, p]])
+                cr = corner_uv[r]                              # (ne, 2)
+                cu = corner_uv[(r + d) % 4]
+                cv = corner_uv[(r - d) % 4]
+                eu = (cu - cr) // p                            # (ne, 2) unit axes
+                ev = (cv - cr) // p
+                for u in range(1, p):
+                    for v in range(1, p):
+                        latt = L0 + u * du + v * dv
+                        n = lookup[tuple(latt)]
+                        rel = np.array([u, v]) - cr            # (ne, 2)
+                        a = (rel * eu).sum(axis=1)
+                        b = (rel * ev).sum(axis=1)
+                        keys[:, n, 0] = _FACE
+                        keys[:, n, 1:5] = gsort
+                        keys[:, n, 5] = a
+                        keys[:, n, 6] = b
+                        done[n] = True
+            elif k == 3:
+                # triangle face: node = barycentric (b0,b1,b2), sum=p, all≥1;
+                # canonical coords = (bary at corner r+d, bary at corner r-d)
+                Lf = latt_v[list(fverts)]                       # (3, dim)
+                for b0 in range(1, p):
+                    for b1 in range(1, p - b0):
+                        b2 = p - b0 - b1
+                        if b2 < 1:
+                            continue
+                        latt = (Lf[0] * b0 + Lf[1] * b1 + Lf[2] * b2) // p
+                        n = lookup[tuple(latt)]
+                        bar = np.stack(
+                            [np.full(ne, b0), np.full(ne, b1), np.full(ne, b2)],
+                            axis=1,
+                        )
+                        a = bar[np.arange(ne), (r + d) % 3]
+                        bb = bar[np.arange(ne), (r - d) % 3]
+                        keys[:, n, 0] = _FACE
+                        keys[:, n, 1:4] = gsort
+                        keys[:, n, 5] = a
+                        keys[:, n, 6] = bb
+                        done[n] = True
+
+    # --- interior nodes ---
+    mi = lattice_multi_index(geom, p)
+    for n in np.nonzero(~done)[0]:
+        keys[:, n, 0] = _CELL
+        keys[:, n, 1] = elem_ids
+        keys[:, n, 5 : 5 + dim] = mi[n]
+
+    return keys
+
+
+def _rows_to_void(a: np.ndarray) -> np.ndarray:
+    a = np.ascontiguousarray(a)
+    return a.view([("", a.dtype)] * a.shape[1]).ravel()
+
+
+@dataclasses.dataclass(eq=False)  # id-hash: spaces are cached/keyed by identity
+class FESpace:
+    """H1 (continuous) nodal space of order p on a single-geometry mesh.
+
+    ``vdim`` vector components use byNODES ordering (component-major,
+    reference ``Ordering::byNODES``): global dof = scalar_dof + ndof_scalar*c.
+    """
+
+    mesh: Mesh
+    order: int
+    vdim: int = 1
+
+    # filled by __post_init__
+    ndof_scalar: int = dataclasses.field(init=False)
+    gather_map: np.ndarray = dataclasses.field(init=False)       # (ne, nd) int32
+    bdr_gather_map: np.ndarray = dataclasses.field(init=False)   # (nbe, ndf) int32
+    dof_coords: np.ndarray = dataclasses.field(init=False)       # (ndof_scalar, sdim)
+
+    def __post_init__(self):
+        mesh, p = self.mesh, self.order
+        geom = mesh.geom
+        keys = _elem_node_keys(
+            geom, p, mesh.elements, np.arange(mesh.ne, dtype=np.int64)
+        )
+        ne, nd, _ = keys.shape
+        flat = keys.reshape(ne * nd, _KEYLEN)
+        void = _rows_to_void(flat)
+        uniq, inv = np.unique(void, return_inverse=True)
+        self.ndof_scalar = len(uniq)
+        self.gather_map = inv.reshape(ne, nd).astype(np.int32)
+
+        # boundary gather map: keys of boundary-face nodes, matched into uniq
+        if mesh.nbe > 0 and mesh.dim > 1:
+            bgeom = mesh.bdr_geom
+            bkeys = _elem_node_keys(
+                bgeom, p, mesh.boundary, np.arange(mesh.nbe, dtype=np.int64)
+            )
+            # boundary "interior" nodes are FACE nodes of the volume mesh:
+            # rewrite CELL keys emitted for the face element's interior
+            bkeys = _bdr_cell_to_face_keys(bgeom, p, mesh.boundary, bkeys)
+            bflat = bkeys.reshape(-1, _KEYLEN)
+            bvoid = _rows_to_void(bflat)
+            pos = np.searchsorted(uniq, bvoid)
+            ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == bvoid)
+            if not np.all(ok):
+                raise ValueError("boundary face nodes not found in volume dofs")
+            self.bdr_gather_map = pos.reshape(mesh.nbe, -1).astype(np.int32)
+        elif mesh.dim == 1:
+            # boundary of a 1D mesh: the two endpoint vertices
+            self.bdr_gather_map = np.zeros((0, 1), dtype=np.int32)
+        else:
+            self.bdr_gather_map = np.zeros((0, 0), dtype=np.int32)
+
+        # nodal coordinates per scalar L-dof (scatter of element node coords)
+        Xe = element_node_coords(mesh, p)                    # (ne, nd, sdim)
+        coords = np.zeros((self.ndof_scalar, mesh.sdim))
+        coords[self.gather_map.reshape(-1)] = Xe.reshape(-1, mesh.sdim)
+        self.dof_coords = coords
+
+    # ------------------------------------------------------------------
+    @property
+    def ndof(self) -> int:
+        return self.ndof_scalar * self.vdim
+
+    @property
+    def nd_elem(self) -> int:
+        return self.gather_map.shape[1]
+
+    @functools.cached_property
+    def d2q(self) -> DofToQuad:
+        from ..utils.config import config
+
+        nq1d = self.order + 1 + config.quad_extra
+        return make_dof_to_quad(self.mesh.geom, self.order, nq1d)
+
+    def dof_to_quad(self, nq1d: Optional[int] = None) -> DofToQuad:
+        if nq1d is None:
+            return self.d2q
+        return make_dof_to_quad(self.mesh.geom, self.order, nq1d)
+
+    # ------------------------------------------------------------------
+    def essential_dofs(self, bdr_marker=None) -> np.ndarray:
+        """Scalar L-dofs on marked boundary attributes (sorted, unique).
+
+        ``bdr_marker``: iterable of boundary attributes to constrain, or None
+        for all (reference: GetEssentialTrueDofs, fem/fespace.hpp:1357).
+        """
+        if self.mesh.nbe == 0:
+            return np.zeros(0, dtype=np.int32)
+        if bdr_marker is None:
+            sel = np.ones(self.mesh.nbe, dtype=bool)
+        else:
+            marker = np.asarray(list(bdr_marker))
+            sel = np.isin(self.mesh.bdr_attributes, marker)
+        return np.unique(self.bdr_gather_map[sel].reshape(-1)).astype(np.int32)
+
+
+def _bdr_cell_to_face_keys(
+    bgeom: Geometry, p: int, bverts: np.ndarray, bkeys: np.ndarray
+) -> np.ndarray:
+    """Convert CELL keys of boundary elements into canonical FACE keys.
+
+    A boundary element's interior nodes coincide with face-interior nodes of
+    the adjacent volume element; both must canonicalize identically.
+    """
+    if p < 2 or DIMENSION[bgeom] != 2:
+        return bkeys
+    nbe, nd, _ = bkeys.shape
+    lookup = _node_index_lookup(bgeom, p)
+    mi = lattice_multi_index(bgeom, p)
+    gsort = np.sort(bverts, axis=1)
+    k = bverts.shape[1]
+    r = np.argmin(bverts, axis=1)
+    nxt = bverts[np.arange(nbe), (r + 1) % k]
+    prv = bverts[np.arange(nbe), (r - 1) % k]
+    d = np.where(nxt < prv, 1, -1)
+    cell_nodes = np.nonzero(bkeys[0, :, 0] == _CELL)[0]
+    if bgeom == Geometry.SQUARE:
+        corner_uv = np.array([[0, 0], [p, 0], [p, p], [0, p]])
+        cr = corner_uv[r]
+        eu = (corner_uv[(r + d) % 4] - cr) // p
+        ev = (corner_uv[(r - d) % 4] - cr) // p
+        for n in cell_nodes:
+            u, v = mi[n]
+            rel = np.array([u, v]) - cr
+            a = (rel * eu).sum(axis=1)
+            b = (rel * ev).sum(axis=1)
+            bkeys[:, n, 0] = _FACE
+            bkeys[:, n, 1:5] = gsort
+            bkeys[:, n, 5] = a
+            bkeys[:, n, 6] = b
+            bkeys[:, n, 7] = -1
+    elif bgeom == Geometry.TRIANGLE:
+        for n in cell_nodes:
+            i, j = mi[n]
+            b0, b1, b2 = p - i - j, i, j
+            bar = np.stack(
+                [np.full(nbe, b0), np.full(nbe, b1), np.full(nbe, b2)], axis=1
+            )
+            a = bar[np.arange(nbe), (r + d) % 3]
+            bb = bar[np.arange(nbe), (r - d) % 3]
+            bkeys[:, n, 0] = _FACE
+            bkeys[:, n, 1:4] = gsort
+            bkeys[:, n, 4] = -1
+            bkeys[:, n, 5] = a
+            bkeys[:, n, 6] = bb
+            bkeys[:, n, 7] = -1
+    return bkeys
+
+
+def element_node_coords(mesh: Mesh, p: int) -> np.ndarray:
+    """Physical coordinates of the order-p lattice nodes of every element.
+
+    (ne, nd, sdim).  Uses the mesh's curved ``nodes`` if present, else the
+    Q1/P1 vertex map (the reference's GetNodes/Transform path).
+    """
+    if mesh.nodes is not None:
+        if mesh.nodes_order == p:
+            return mesh.nodes
+        raise NotImplementedError("node order conversion")
+    geom = mesh.geom
+    ref = h1_nodes(geom, p)                       # (nd, dim)
+    # Q1/P1 shape functions evaluated at the lattice points
+    if geom in (Geometry.TRIANGLE, Geometry.TETRAHEDRON):
+        B, _ = simplex_basis_matrices(geom, 1, ref)    # (nd, nv)
+    else:
+        d2q1 = _q1_eval_matrix(geom, ref)
+        B = d2q1
+    return np.einsum("nv,evs->ens", B, mesh.vertices[mesh.elements])
+
+
+def _q1_eval_matrix(geom: Geometry, pts: np.ndarray) -> np.ndarray:
+    """Multilinear Q1 shape functions of ``geom`` evaluated at ``pts`` (npts, nv)."""
+    rv = REF_VERTS[geom]
+    dim = DIMENSION[geom]
+    B = np.ones((len(pts), len(rv)))
+    for d in range(dim):
+        x = pts[:, d][:, None]
+        v = rv[:, d][None, :]
+        B *= np.where(v > 0.5, x, 1.0 - x)
+    return B
+
+
+# ----------------------------------------------------------------------------
+# L2 (discontinuous) space — every dof interior to its element
+# ----------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(eq=False)
+class L2FESpace:
+    """Discontinuous space: gather map is the identity reshape (reference:
+    L2ElementRestriction, fem/restriction.hpp:115)."""
+
+    mesh: Mesh
+    order: int
+    vdim: int = 1
+
+    ndof_scalar: int = dataclasses.field(init=False)
+    gather_map: np.ndarray = dataclasses.field(init=False)
+
+    def __post_init__(self):
+        nd = len(lattice_multi_index(self.mesh.geom, self.order))
+        self.ndof_scalar = self.mesh.ne * nd
+        self.gather_map = (
+            np.arange(self.ndof_scalar, dtype=np.int32).reshape(self.mesh.ne, nd)
+        )
+
+    @property
+    def ndof(self) -> int:
+        return self.ndof_scalar * self.vdim
+
+    @property
+    def nd_elem(self) -> int:
+        return self.gather_map.shape[1]
+
+    @functools.cached_property
+    def d2q(self) -> DofToQuad:
+        from ..utils.config import config
+
+        nq1d = self.order + 1 + config.quad_extra
+        return make_dof_to_quad(self.mesh.geom, self.order, nq1d)
+
+    def essential_dofs(self, bdr_marker=None) -> np.ndarray:
+        return np.zeros(0, dtype=np.int32)

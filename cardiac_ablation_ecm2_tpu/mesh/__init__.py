@@ -1,0 +1,9 @@
+from .mesh import (
+    Mesh,
+    make_cartesian_2d,
+    make_cartesian_2d_tri,
+    make_cartesian_3d,
+    make_cartesian_3d_tet,
+    unique_edges,
+    unique_faces,
+)

@@ -1,0 +1,8 @@
+from .bilinearform import BilinearForm, PAOperator, register_integrator
+from .operators import (
+    ConstrainedOperator,
+    LinearOperator,
+    form_linear_system,
+    identity,
+)
+from . import linearform, mass, diffusion, convection

@@ -1,0 +1,83 @@
+"""Global runtime configuration.
+
+The reference library configures itself with ~50 compile-time ``MFEM_USE_*``
+macros (``config/defaults.mk:136-197``) plus a runtime ``Device::Configure``
+string (``general/device.hpp:224``) and a precision switch selecting ``real_t``
+(``config/defaults.mk:192-197``).  The TPU-native build replaces the entire
+feature matrix with this single runtime config object:
+
+* ``dtype`` — the global scalar type ("float64" / "float32" / "bfloat16"),
+  the analog of MFEM's ``real_t``.  float64 on TPU is emulated (slow); tests
+  run float64 on CPU for 1e-8 parity, benches may select float32 with
+  float64 reductions (see ``linalg.solvers``).
+* quadrature defaults and scatter determinism knobs.
+
+No compile-time flags: everything under ``jax.jit`` re-specializes as needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DTYPES = {
+    "float64": jnp.float64,
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+}
+
+
+@dataclasses.dataclass
+class Config:
+    """Global knobs. Mutate via :func:`configure` (not mid-trace)."""
+
+    #: Global scalar type name (MFEM ``real_t`` analog).
+    dtype: str = os.environ.get("CAX_DTYPE", "float64")
+    #: Extra 1D quadrature points beyond the p+1 minimum: nq1d = p + 1 + quad_extra.
+    quad_extra: int = 1
+    #: Accumulate iterative-solver inner products in float64 even when
+    #: ``dtype`` is float32 (mixed-precision CG; SURVEY.md §7 risk item 1).
+    f64_reductions: bool = True
+
+
+config = Config()
+
+
+def configure(**kw) -> Config:
+    """Update global config fields; returns the config."""
+    for k, v in kw.items():
+        if not hasattr(config, k):
+            raise ValueError(f"unknown config field {k!r}")
+        setattr(config, k, v)
+    return config
+
+
+def real_t(dtype: Optional[object] = None):
+    """Resolve the global scalar dtype (or pass through an explicit one).
+
+    Falls back to float32 if float64 is requested without x64 enabled.
+    """
+    if dtype is not None:
+        return jnp.dtype(dtype)
+    dt = _DTYPES[config.dtype]
+    if dt == jnp.float64 and not jax.config.jax_enable_x64:
+        return jnp.dtype(jnp.float32)
+    return jnp.dtype(dt)
+
+
+def np_real_t(dtype: Optional[object] = None):
+    """Numpy view of :func:`real_t` for host-side setup code."""
+    dt = real_t(dtype)
+    if dt == jnp.bfloat16:
+        return np.dtype(np.float32)
+    return np.dtype(dt)
+
+
+def index_t():
+    """Global integer index dtype for gather/scatter maps (int32: TPU-friendly)."""
+    return jnp.dtype(jnp.int32)
