@@ -1,0 +1,2 @@
+from .mesh_io import read_mfem_mesh, write_mfem_mesh
+from .vtu import write_vtu, vertex_values

@@ -1,0 +1,68 @@
+"""Mesh I/O: read the reference's bundled corpus meshes and run the ex1
+config on star.mesh (BASELINE.md config 1)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cardiac_ablation_ecm2_tpu.fem import FESpace, geom_factors_for
+from cardiac_ablation_ecm2_tpu.io.mesh_io import read_mfem_mesh, write_mfem_mesh
+from cardiac_ablation_ecm2_tpu.io.vtu import vertex_values, write_vtu
+from cardiac_ablation_ecm2_tpu.models import poisson
+
+DATA = "/root/reference/data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(DATA), reason="reference data not mounted"
+)
+
+
+def mesh_volume(mesh):
+    fes = FESpace(mesh, 1)
+    return float(np.sum(np.asarray(geom_factors_for(fes).wdet)))
+
+
+def test_read_star():
+    m = read_mfem_mesh(f"{DATA}/star.mesh")
+    assert m.ne == 20 and m.dim == 2
+    assert m.nbe > 0
+    assert mesh_volume(m) > 0
+
+
+@pytest.mark.parametrize(
+    "name", ["inline-quad.mesh", "inline-hex.mesh", "beam-hex.mesh",
+             "beam-quad.mesh", "beam-tet.mesh", "beam-tri.mesh",
+             "fichera.mesh", "star.mesh"]
+)
+def test_read_corpus(name):
+    m = read_mfem_mesh(f"{DATA}/{name}")
+    assert m.ne > 0 and m.nv > 0
+    v = mesh_volume(m)
+    assert v > 0
+    # roundtrip
+    m2 = read_mfem_mesh(write_mfem_mesh(m))
+    assert m2.ne == m.ne and np.allclose(m2.vertices, m.vertices)
+    assert np.isclose(mesh_volume(m2), v)
+
+
+def test_ex1_star_config(tmp_path):
+    """BASELINE config 1: ex1 Poisson on star.mesh, H1 order 2, PCG+Jacobi."""
+    m = read_mfem_mesh(f"{DATA}/star.mesh")
+    res = poisson.solve(m, order=2, rhs=1.0, rel_tol=1e-12, max_iter=2000)
+    assert res.converged
+    # sanity: solution positive inside, zero on boundary
+    ess = res.fes.essential_dofs()
+    u = np.asarray(res.u)
+    assert np.allclose(u[ess], 0.0)
+    assert u.max() > 0
+    # refinement increases accuracy monotonically toward a reference value
+    m2 = m.uniform_refinement()
+    res2 = poisson.solve(m2, order=2, rhs=1.0, rel_tol=1e-12, max_iter=4000)
+    assert res2.converged
+    # VTU export smoke test
+    write_vtu(
+        m, str(tmp_path / "star.vtu"),
+        point_data={"u": vertex_values(res.fes, res.u)},
+    )
+    assert (tmp_path / "star.vtu").exists()
