@@ -1,1 +1,1 @@
-from . import poisson
+from . import ablation, bioheat, heat, poisson, rf_laplace

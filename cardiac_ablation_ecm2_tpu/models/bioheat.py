@@ -1,0 +1,170 @@
+"""Pennes bioheat equation — the target application physics.
+
+    ρc ∂T/∂t = ∇·(k ∇T) − ω_b c_b (T − T_a) + Q_met + Q_rf(x)
+
+(BASELINE.json config 3; the reference's closest in-repo analogs are
+``examples/ex16.cpp`` and ``miniapps/electromagnetics/joule.cpp`` — SURVEY.md
+preamble.)  Discretized:
+
+    M_ρc dT/dt = −(K_k + M_ω) T + M_ω T_a·1 + b(Q_met + Q_rf)
+
+with essential (body-surface) temperature BCs.  ``implicit_solve`` solves
+(M_ρc + γ(K_k + M_ω)) k = rhs with the stage constrained to k=0 on essential
+dofs (fixed-temperature boundary), via Jacobi-PCG — all inside jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.build import basis_for, geom_factors_for, restriction_for
+from ..fem.coefficient import eval_coeff
+from ..fem.fespace import FESpace
+from ..fem.quadinterp import eval_values_t
+from ..linalg.solvers import cg
+from ..ops import diffusion, mass
+from ..utils.config import index_t, real_t
+
+
+@dataclasses.dataclass(eq=False)
+class BioheatOperator:
+    """TimeDependentOperator for the Pennes equation.
+
+    Physical parameters (SI, defaults for cardiac tissue):
+      rho_c   — ρ·c volumetric heat capacity [J/(m³K)]   (~3.6e6)
+      k       — thermal conductivity [W/(mK)]            (~0.54)
+      w_cb    — ω_b·c_b perfusion heat transfer [W/(m³K)]
+      T_a     — arterial temperature [°C or K]
+      q_met   — metabolic source [W/m³]
+      q_rf    — RF/Joule (SAR) volumetric source, (ne, nq) Q-vector or
+                coefficient
+    """
+
+    fes: FESpace
+    rho_c: object = 3.6e6
+    k: object = 0.54
+    w_cb: object = 40000.0 * 0.0  # default: no perfusion unless set
+    T_a: float = 37.0
+    q_met: object = 0.0
+    q_rf: object = None
+    ess_bdr: Optional[Sequence[int]] = None
+    rel_tol: float = 1e-10
+    max_iter: int = 1000
+    dtype: object = None
+
+    def __post_init__(self):
+        fes = self.fes
+        self.restr = restriction_for(fes)
+        self.db = basis_for(fes, dtype=self.dtype)
+        self.gf = geom_factors_for(fes, dtype=self.dtype)
+        dt_ = real_t(self.dtype)
+
+        rho_c_q = eval_coeff(self.rho_c, self.gf, self.dtype)
+        k_q = eval_coeff(self.k, self.gf, self.dtype)
+        w_q = eval_coeff(self.w_cb, self.gf, self.dtype)
+
+        self.Mrc_qd = mass.setup(self.gf, rho_c_q)          # ρc mass
+        self.K_qd = diffusion.setup(self.gf, k_q)           # conductivity
+        self.Mw_qd = mass.setup(self.gf, w_q)               # perfusion mass
+
+        # constant RHS: M_ω T_a 1 + (Q_met + Q_rf, v)
+        src_q = eval_coeff(self.q_met, self.gf, self.dtype)
+        if self.q_rf is not None:
+            rf_q = eval_coeff(self.q_rf, self.gf, self.dtype)
+            src_q = rf_q if src_q is None else src_q + rf_q
+        q = self.Mw_qd * self.T_a
+        if src_q is not None:
+            q = q + self.gf.wdet * src_q
+        self.b_const = self.restr.mult_transpose(eval_values_t(self.db, q))
+
+        # ess_bdr=None/() ⇒ pure natural BCs (unlike FESpace.essential_dofs
+        # where None means "all boundary attributes")
+        if self.ess_bdr:
+            ess = fes.essential_dofs(self.ess_bdr)
+        else:
+            ess = np.zeros(0, dtype=np.int32)
+        self.ess = jnp.asarray(ess, dtype=index_t())
+        self.has_ess = len(ess) > 0
+
+        # diagonals
+        self.Mrc_diag = self.restr.mult_transpose(
+            mass.diagonal(self.db, self.Mrc_qd)
+        )
+        self.A_diag = self.restr.mult_transpose(
+            diffusion.diagonal(self.db, self.K_qd)
+            + mass.diagonal(self.db, self.Mw_qd)
+        )
+
+    # ------------------------------------------------------------------
+    def _apply(self, qd_mass, qd_diff, v):
+        e = self.restr.mult(v)
+        out = mass.apply(self.db, qd_mass, e) + diffusion.apply(
+            self.db, qd_diff, e
+        )
+        return self.restr.mult_transpose(out)
+
+    def _A_apply(self, v):
+        """(K_k + M_ω) v."""
+        return self._apply(self.Mw_qd, self.K_qd, v)
+
+    def _Mrc_apply(self, v):
+        e = self.restr.mult(v)
+        return self.restr.mult_transpose(mass.apply(self.db, self.Mrc_qd, e))
+
+    def residual(self, T):
+        """RHS of M dT/dt = −A T + b."""
+        return self.b_const - self._A_apply(T)
+
+    def _zero_ess(self, v):
+        if self.has_ess:
+            return v.at[self.ess].set(0.0)
+        return v
+
+    # -- TimeDependentOperator protocol -------------------------------
+    def mult(self, t, T):
+        rhs = self._zero_ess(self.residual(T))
+
+        def Mc(v):
+            z = self._zero_ess(v)
+            y = self._zero_ess(self._Mrc_apply(z))
+            return y + (v - z)   # identity on the constrained subspace
+
+        diag = self.Mrc_diag
+        if self.has_ess:
+            diag = diag.at[self.ess].set(1.0)
+        inv = 1.0 / diag
+        x, _ = cg(Mc, rhs, M=lambda r: inv * r, rel_tol=self.rel_tol,
+                  max_iter=self.max_iter)
+        return self._zero_ess(x)
+
+    def implicit_solve(self, gamma, t, T):
+        """(M_ρc + γ A) k = b − A T, with k = 0 on essential dofs."""
+        rhs = self._zero_ess(self.residual(T))
+
+        def lhs(v):
+            z = self._zero_ess(v)
+            y = self._Mrc_apply(z) + gamma * self._A_apply(z)
+            y = self._zero_ess(y)
+            # identity on the constrained subspace keeps the operator SPD
+            return y + (v - z)
+
+        diag = self.Mrc_diag + gamma * self.A_diag
+        if self.has_ess:
+            diag = diag.at[self.ess].set(1.0)
+        inv = 1.0 / diag
+        k, _ = cg(lhs, rhs, M=lambda r: inv * r, rel_tol=self.rel_tol,
+                  max_iter=self.max_iter)
+        return self._zero_ess(k)
+
+
+def make_stepper(op: BioheatOperator, solver) -> Callable:
+    @jax.jit
+    def step(T, t, dt):
+        return solver.step(op, T, t, dt)
+
+    return step

@@ -1,0 +1,163 @@
+"""Sharded Poisson solve — the ex1p capability slice.
+
+Reference analog: ``examples/ex1p.cpp`` (SURVEY.md §3.3): ParMesh partition +
+ParFiniteElementSpace + parallel PA apply (RAP through P) + CG with
+MPI_Allreduce inner products.  TPU-native: one ``shard_map`` region holds the
+entire solve — per-device geometric factors and qdata are computed from the
+device's element block, the PA apply does gather→einsum→scatter→halo
+(ppermute), and CG runs with psum inner products.  The full solve is a single
+jitted computation over the device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import PartitionSpec as P
+
+try:  # jax ≥ 0.6 exposes shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..fem.fespace import FESpace
+from ..fem.geom_factors import compute_geometric_factors
+from ..fem.quadinterp import device_basis, eval_values_t
+from ..linalg.solvers import cg
+from ..ops import diffusion as diffusion_mod
+from ..ops import mass as mass_mod
+from ..utils.config import real_t
+from . import ops as pops
+from .pfespace import ParFESpace, build, gather_global, scatter_global
+
+
+def _stack_local_ess(pf: ParFESpace, ess_global: np.ndarray) -> np.ndarray:
+    """Global essential dofs → (ndev, max_ness) local indices (pad → trash)."""
+    rows = []
+    for d in range(pf.ndev):
+        g = pf.loc2glob[d]
+        valid = g >= 0
+        mask = np.isin(g, ess_global) & valid
+        rows.append(np.nonzero(mask)[0])
+    m = max((len(r) for r in rows), default=1)
+    m = max(m, 1)
+    out = np.full((pf.ndev, m), pf.nloc, dtype=np.int32)
+    for d, r in enumerate(rows):
+        out[d, : len(r)] = r
+    return out
+
+
+@dataclasses.dataclass(eq=False)
+class ParPoisson:
+    """Assembled sharded Poisson solver (ex1p analog)."""
+
+    pf: ParFESpace
+    dmesh: DeviceMesh
+    solve_fn: Callable          # (b_stub args...) -> (x_loc, iters, final)
+
+    def solve(self, rel_tol=1e-12, max_iter=2000):
+        x_loc, iters, final = self.solve_fn()
+        u = gather_global(self.pf, np.asarray(x_loc)[:, : self.pf.nloc + 1])
+        return u[: self.pf.ndof_global], int(iters), float(final)
+
+
+def setup(
+    mesh,
+    order: int = 2,
+    ndev: Optional[int] = None,
+    rhs: Callable = None,
+    kappa: Callable = None,
+    ess_bdr: Optional[Sequence[int]] = None,
+    rel_tol: float = 1e-12,
+    max_iter: int = 2000,
+    dtype=None,
+    devices=None,
+) -> ParPoisson:
+    """Build the sharded solver.  ``rhs``/``kappa`` must be jax-traceable
+    callables of physical coordinates (or None)."""
+    fes = FESpace(mesh, order)
+    if devices is None:
+        devices = jax.devices()
+    if ndev is None:
+        ndev = len(devices)
+    pf = build(fes, ndev)
+    dmesh = DeviceMesh(np.array(devices[:ndev]), (pops.AXIS,))
+
+    d2q = fes.d2q
+    db = device_basis(d2q, dtype)
+    rt = real_t(dtype)
+
+    ess_global = fes.essential_dofs(ess_bdr) if (
+        ess_bdr is None or len(list(ess_bdr)) > 0
+    ) else np.zeros(0, np.int32)
+    ess_loc = _stack_local_ess(pf, ess_global)
+
+    # stacked inputs
+    Xs = jnp.asarray(pf.node_coords, dtype=rt)
+    gth = jnp.asarray(pf.gather)
+    perm = jnp.asarray(pf.scat_perm)
+    seg = jnp.asarray(pf.scat_seg)
+    send = jnp.asarray(pf.send_idx)
+    ew = jnp.asarray(pf.elem_weight, dtype=rt)
+    dw = jnp.asarray(pf.dof_weight, dtype=rt)
+    essl = jnp.asarray(ess_loc)
+    nloc = pf.nloc
+    perms = pf.perms
+
+    spec = P(pops.AXIS)
+
+    @partial(
+        shard_map,
+        mesh=dmesh,
+        in_specs=(spec,) * 7,
+        out_specs=(spec, P(), P()),
+        check_vma=False,
+    )
+    def _solve(X, g, pm, sg, sd, w_el, w_dof):
+        X, g, pm, sg = X[0], g[0], pm[0], sg[0]
+        sd, w_el, w_dof = sd[0], w_el[0], w_dof[0]
+        ess = essl[lax.axis_index(pops.AXIS)]
+
+        gf = compute_geometric_factors(X, d2q, dtype)
+        kq = None if kappa is None else kappa(gf.x).astype(rt)
+        qd = diffusion_mod.setup(gf, kq) * w_el[:, None, None, None]
+
+        def A(v):
+            z = pops.zero_at(v, ess)
+            e = z[g]
+            y = pops.local_scatter(diffusion_mod.apply(db, qd, e), pm, sg, nloc)
+            y = pops.halo_sum(y, sd, perms, nloc)
+            y = pops.zero_at(y, ess)
+            return y + (v - z)
+
+        # RHS (f, v) with halo assembly; essential rows zero (u_bc = 0)
+        fq = jnp.ones_like(gf.det) if rhs is None else rhs(gf.x).astype(rt)
+        b_e = eval_values_t(db, gf.wdet * fq * w_el[:, None])
+        b = pops.local_scatter(b_e, pm, sg, nloc)
+        b = pops.halo_sum(b, sd, perms, nloc)
+        b = pops.zero_at(b, ess)
+
+        # Jacobi diagonal with halo assembly
+        d_e = diffusion_mod.diagonal(db, qd)
+        dg = pops.local_scatter(d_e, pm, sg, nloc)
+        dg = pops.halo_sum(dg, sd, perms, nloc)
+        dg = dg.at[ess].set(1.0).at[nloc].set(1.0)
+
+        pdot = pops.make_pdot(w_dof)
+        x, info = cg(
+            A, b, M=lambda r: r / dg, rel_tol=rel_tol, max_iter=max_iter,
+            dot=pdot,
+        )
+        return x[None], info.iterations, info.final_norm
+
+    def run():
+        return jax.jit(_solve)(Xs, gth, perm, seg, send, ew, dw)
+
+    return ParPoisson(pf=pf, dmesh=dmesh, solve_fn=run)
