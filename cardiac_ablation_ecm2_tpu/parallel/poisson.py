@@ -149,6 +149,9 @@ def setup(
         dg = pops.local_scatter(d_e, pm, sg, nloc)
         dg = pops.halo_sum(dg, sd, perms, nloc)
         dg = dg.at[ess].set(1.0).at[nloc].set(1.0)
+        # unused padded dof slots (devices with fewer dofs than nloc) have a
+        # zero diagonal — guard against 0/0 NaNs in the Jacobi apply
+        dg = jnp.where(dg == 0.0, 1.0, dg)
 
         pdot = pops.make_pdot(w_dof)
         x, info = cg(
