@@ -1,1 +1,1 @@
-from . import ops, partition, pfespace, poisson
+from . import bioheat, ops, partition, pfespace, poisson
