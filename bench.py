@@ -1,0 +1,104 @@
+"""Benchmark driver: implicit Pennes-bioheat timestep throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric (BASELINE.md): wall-clock per implicit SDIRK33 bioheat timestep on a
+3D hex mesh, reported as DOF/s/chip.  ``vs_baseline`` compares against the
+measured MFEM CPU reference (see BASELINE.md; recorded in
+``bench_baseline.json`` when taken) — values > 1 mean faster than the
+reference CPU baseline.
+
+Environment knobs: BENCH_N (elements/axis, default 48), BENCH_ORDER (2),
+BENCH_STEPS (5), BENCH_DTYPE (float32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", "48"))
+    order = int(os.environ.get("BENCH_ORDER", "2"))
+    steps = int(os.environ.get("BENCH_STEPS", "5"))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+
+    import jax
+    import jax.numpy as jnp
+
+    from cardiac_ablation_ecm2_tpu.fem import FESpace
+    from cardiac_ablation_ecm2_tpu.linalg import ode
+    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_3d
+    from cardiac_ablation_ecm2_tpu.models import bioheat
+    from cardiac_ablation_ecm2_tpu.utils.config import configure
+
+    configure(dtype=dtype)
+
+    L = 0.04
+    mesh = make_cartesian_3d(n, n, n, L, L, L)
+    fes = FESpace(mesh, order)
+
+    def src(x):
+        r2 = sum((x[..., i] - L / 2) ** 2 for i in range(3))
+        return 1e6 * jnp.exp(-r2 / (L / 8) ** 2)
+
+    op = bioheat.BioheatOperator(
+        fes=fes, rho_c=3.6e6, k=0.54, w_cb=2e4, T_a=37.0, q_met=src,
+        ess_bdr=[1, 2, 3, 4, 5, 6], rel_tol=1e-8, max_iter=300,
+        dtype=dtype,
+    )
+    solver = ode.select("sdirk33")
+
+    @jax.jit
+    def step(T, t, dt):
+        return solver.step(op, T, t, dt)
+
+    T = jnp.full(fes.ndof, 37.0, dtype=jnp.dtype(dtype) if dtype != "float64"
+                 else None)
+    t, dt = jnp.asarray(0.0, T.dtype), jnp.asarray(0.25, T.dtype)
+
+    # warmup / compile
+    T1, t1 = step(T, t, dt)
+    jax.block_until_ready(T1)
+
+    t0 = time.perf_counter()
+    Tc, tc = T1, t1
+    for _ in range(steps):
+        Tc, tc = step(Tc, tc, dt)
+    jax.block_until_ready(Tc)
+    wall = time.perf_counter() - t0
+    per_step = wall / steps
+    dofs_per_s = fes.ndof / per_step
+
+    baseline = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "bench_baseline.json")) as f:
+            baseline = json.load(f).get("mfem_cpu_seconds_per_step")
+    except Exception:
+        pass
+    vs = (baseline / per_step) if baseline else 0.0
+
+    print(json.dumps({
+        "metric": "bioheat_implicit_timestep_dofs_per_s_per_chip",
+        "value": dofs_per_s,
+        "unit": "DOF/s",
+        "vs_baseline": vs,
+        "extra": {
+            "seconds_per_step": per_step,
+            "ndof": fes.ndof,
+            "ne": mesh.ne,
+            "order": order,
+            "dtype": dtype,
+            "device": str(jax.devices()[0]),
+            "solver": "sdirk33+pcg(jacobi)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
