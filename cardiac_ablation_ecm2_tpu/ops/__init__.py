@@ -5,4 +5,4 @@ from .operators import (
     form_linear_system,
     identity,
 )
-from . import linearform, mass, diffusion, convection
+from . import convection, diffusion, elasticity, linearform, mass

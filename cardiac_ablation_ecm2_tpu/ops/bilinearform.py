@@ -1,16 +1,19 @@
 """BilinearForm: the operator-assembly front-end.
 
 Reference analog: ``BilinearForm`` (``fem/bilinearform.hpp:60``) with
-``AddDomainIntegrator`` / ``Assemble`` / ``FormLinearSystem`` and the
-``AssemblyLevel`` engines (``fem/bilinearform_ext.hpp``):
+``AddDomainIntegrator`` / ``AddBoundaryIntegrator`` / ``Assemble`` /
+``FormLinearSystem`` and the ``AssemblyLevel`` engines
+(``fem/bilinearform_ext.hpp``):
 
 * **PARTIAL** (the default here, the TPU-native path): precompute qdata per
   integrator, apply matrix-free as R→(sum of integrator applies)→Rᵀ
   (``PABilinearFormExtension::MultInternal``, fem/bilinearform_ext.cpp:487).
+  Boundary integrators run the same pipeline through the boundary-face
+  restriction and the face geometric factors.
 * **FULL**: assemble a host-side scipy CSR matrix from batched element
-  matrices (``FABilinearFormExtension`` / legacy path) — used by the
-  assembly-level cross-check tests (tests/unit/fem/test_assembly_levels.cpp
-  analog) and by LOR preconditioning.
+  matrices (``FABilinearFormExtension`` / legacy path) — the assembly-level
+  cross-check harness (tests/unit/fem/test_assembly_levels.cpp analog) and
+  the LOR building block.
 
 Integrators are registered by name; each provides setup/apply/diagonal (see
 ``ops/mass.py``, ``ops/diffusion.py``, ...).
@@ -19,23 +22,33 @@ Integrators are registered by name; each provides setup/apply/diagonal (see
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence, Tuple
+import functools
+from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..fem.build import basis_for, geom_factors_for, restriction_for
+from ..fem.basis import make_dof_to_quad
+from ..fem.build import (
+    basis_for,
+    bdr_restriction_for,
+    geom_factors_for,
+    restriction_for,
+)
 from ..fem.coefficient import eval_coeff
-from ..fem.quadinterp import DeviceBasis
+from ..fem.fespace import element_node_coords
+from ..fem.geom_factors import compute_geometric_factors
+from ..fem.quadinterp import DeviceBasis, device_basis
 from ..fem.restriction import ElementRestriction
 from ..utils.config import real_t
-from . import convection, diffusion, mass
+from . import convection, diffusion, elasticity, mass
 from .operators import LinearOperator
 
 _INTEGRATORS = {
     "mass": mass,
     "diffusion": diffusion,
     "convection": convection,
+    "elasticity": elasticity,   # coeff = (lambda, mu) pair
 }
 
 
@@ -49,46 +62,78 @@ class _Term:
     kind: str
     coeff: object = None
     vector_coeff: object = None
+    boundary: bool = False
+    marker: Optional[Sequence[int]] = None
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class _BoundTerm:
+    """One integrator bound to its restriction/basis/qdata."""
+
+    mod: object
+    qdata: jnp.ndarray
+    restr: ElementRestriction
+    db: DeviceBasis
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class PAOperator:
-    """Assembled partial-assembly operator: y = Rᵀ (Σ_i apply_i(qdata_i)) R x."""
+    """Assembled partial-assembly operator:
+    y = Σ_terms Rᵀ_t apply_t(qdata_t, R_t x)."""
 
-    restr: ElementRestriction
-    db: DeviceBasis
-    terms: Tuple[Tuple[object, jnp.ndarray], ...]   # (integ module, qdata)
+    terms: Tuple[_BoundTerm, ...]
     ndof: int
     vdim: int = 1
 
     def mult(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.vdim > 1:
             xl = x.reshape(self.vdim, self.ndof).T       # (ndof, vdim) byNODES
-            e = self.restr.mult(xl)                      # (ne, nd, vdim)
         else:
-            e = self.restr.mult(x)
-        y = None
-        for mod, qd in self.terms:
-            t = mod.apply(self.db, qd, e)
-            y = t if y is None else y + t
-        out = self.restr.mult_transpose(y)
+            xl = x
+        out = None
+        for t in self.terms:
+            e = t.restr.mult(xl)
+            y = t.restr.mult_transpose(t.mod.apply(t.db, t.qdata, e))
+            out = y if out is None else out + y
         if self.vdim > 1:
             return out.T.reshape(-1)
         return out
 
     def diagonal(self) -> jnp.ndarray:
-        d = None
-        for mod, qd in self.terms:
-            t = mod.diagonal(self.db, qd)
-            d = t if d is None else d + t
-        dl = self.restr.mult_transpose(d)
+        out = None
+        for t in self.terms:
+            d = t.restr.mult_transpose(t.mod.diagonal(t.db, t.qdata))
+            if self.vdim > 1 and d.ndim == 1:
+                d = jnp.tile(d[:, None], (1, self.vdim))  # component-agnostic
+            out = d if out is None else out + d
         if self.vdim > 1:
-            return jnp.tile(dl, self.vdim)
-        return dl
+            return out.T.reshape(-1)
+        return out
 
     def operator(self) -> LinearOperator:
         n = self.ndof * self.vdim
         return LinearOperator((n, n), self.mult, self.diagonal)
+
+
+@functools.lru_cache(maxsize=None)
+def _bdr_geom_cached(fes, nq1d, dtype_str):
+    """Boundary-face geometric factors + device basis (face mesh pipeline)."""
+    from ..mesh.mesh import Mesh
+
+    mesh = fes.mesh
+    p = fes.order
+    d2q = make_dof_to_quad(mesh.bdr_geom, p, nq1d or (p + 2))
+    bmesh = Mesh(
+        geom=mesh.bdr_geom,
+        vertices=mesh.vertices,
+        elements=mesh.boundary,
+        attributes=mesh.bdr_attributes,
+        boundary=np.zeros((0, 1), dtype=np.int64),
+        bdr_attributes=np.zeros(0, dtype=np.int64),
+    )
+    X = element_node_coords(bmesh, p)
+    gf = compute_geometric_factors(X, d2q, dtype=dtype_str)
+    return gf, device_basis(d2q, dtype_str)
 
 
 class BilinearForm:
@@ -107,65 +152,151 @@ class BilinearForm:
         self._terms.append(_Term(kind, coeff, vector_coeff))
         return self
 
+    def add_boundary_integrator(self, kind: str, coeff=None, marker=None):
+        """Boundary terms, e.g. 'mass' for Robin (σu, v)_∂Ω
+        (BoundaryMassIntegrator analog)."""
+        if kind != "mass":
+            raise NotImplementedError(
+                "boundary integrators: only 'mass' (Robin) so far"
+            )
+        self._terms.append(_Term(kind, coeff, boundary=True, marker=marker))
+        return self
+
     # ------------------------------------------------------------------
     def assemble(self, dtype=None) -> PAOperator:
         """PARTIAL assembly: build qdata, return the matrix-free operator."""
         fes = self.fes
-        gf = geom_factors_for(fes, self.nq1d, dtype)
-        db = basis_for(fes, self.nq1d, dtype)
-        restr = restriction_for(fes)
-        terms = []
+        bound: List[_BoundTerm] = []
         for t in self._terms:
             mod = _INTEGRATORS[t.kind]
-            cq = eval_coeff(t.coeff, gf, dtype)
-            if t.vector_coeff is not None:
-                vq = _eval_vector_coeff(t.vector_coeff, gf, dtype)
-                qd = mod.setup(gf, cq, vq)
-            else:
+            if t.boundary:
+                gf, db = _bdr_geom_cached(fes, self.nq1d, str(real_t(dtype)))
+                restr = bdr_restriction_for(fes)
+                cq = eval_coeff(t.coeff, gf, dtype)
                 qd = mod.setup(gf, cq)
-            terms.append((mod, qd))
+                if t.marker is not None:
+                    sel = np.isin(
+                        fes.mesh.bdr_attributes, np.asarray(list(t.marker))
+                    )
+                    qd = qd * jnp.asarray(sel, dtype=qd.dtype)[:, None]
+            else:
+                gf = geom_factors_for(fes, self.nq1d, dtype)
+                db = basis_for(fes, self.nq1d, dtype)
+                restr = restriction_for(fes)
+                if t.kind == "elasticity":
+                    lam, mu = t.coeff if t.coeff is not None else (None, None)
+                    qd = mod.setup(
+                        gf, eval_coeff(lam, gf, dtype), eval_coeff(mu, gf, dtype)
+                    )
+                elif t.vector_coeff is not None:
+                    cq = eval_coeff(t.coeff, gf, dtype)
+                    vq = _eval_vector_coeff(t.vector_coeff, gf, dtype)
+                    qd = mod.setup(gf, cq, vq)
+                else:
+                    qd = mod.setup(gf, eval_coeff(t.coeff, gf, dtype))
+            bound.append(_BoundTerm(mod=mod, qdata=qd, restr=restr, db=db))
         return PAOperator(
-            restr=restr, db=db, terms=tuple(terms),
-            ndof=fes.ndof_scalar, vdim=fes.vdim,
+            terms=tuple(bound), ndof=fes.ndof_scalar, vdim=fes.vdim
+        )
+
+    def _assemble_elasticity_matrix(self, dtype=None):
+        return _assemble_elasticity_matrix_impl(
+            self.fes, self.nq1d, self._terms[0], dtype
         )
 
     # ------------------------------------------------------------------
     def assemble_matrix(self, dtype=None):
-        """FULL assembly to scipy CSR (reference LEGACY/FULL levels).
-
-        Builds batched element matrices from the densified basis and the same
-        qdata as the PA path, then scatters via the gather map — the
-        cross-check harness for PA correctness.
-        """
+        """FULL assembly to scipy CSR (reference LEGACY/FULL levels)."""
         import scipy.sparse as sp
 
         fes = self.fes
-        gf = geom_factors_for(fes, self.nq1d, dtype)
-        d2q = fes.dof_to_quad(self.nq1d)
-        B = d2q.full_B()                      # (nq, nd)
-        G = d2q.full_G()                      # (nq, nd, dim)
-        A_e = None
+        n = fes.ndof_scalar
+        if any(t.kind == "elasticity" for t in self._terms):
+            if len(self._terms) != 1:
+                raise NotImplementedError("elasticity must be the sole term")
+            return self._assemble_elasticity_matrix(dtype)
+        A = sp.csr_matrix((n, n))
         for t in self._terms:
             mod = _INTEGRATORS[t.kind]
+            if t.boundary:
+                gf, _db = _bdr_geom_cached(fes, self.nq1d, str(real_t(dtype)))
+                d2q = make_dof_to_quad(
+                    fes.mesh.bdr_geom, fes.order, self.nq1d or (fes.order + 2)
+                )
+                gmap = fes.bdr_gather_map.astype(np.int64)
+            else:
+                gf = geom_factors_for(fes, self.nq1d, dtype)
+                d2q = fes.dof_to_quad(self.nq1d)
+                gmap = fes.gather_map.astype(np.int64)
+            B = d2q.full_B()
+            G = d2q.full_G()
             cq = eval_coeff(t.coeff, gf, dtype)
             if t.vector_coeff is not None:
                 vq = _eval_vector_coeff(t.vector_coeff, gf, dtype)
                 qd = np.asarray(mod.setup(gf, cq, vq))
             else:
                 qd = np.asarray(mod.setup(gf, cq))
-            term = _element_matrices(t.kind, B, G, qd)
-            A_e = term if A_e is None else A_e + term
-        gm = fes.gather_map.astype(np.int64)
-        ne, nd = gm.shape
-        rows = np.repeat(gm, nd, axis=1).reshape(-1)
-        cols = np.tile(gm, (1, nd)).reshape(-1)
-        A = sp.coo_matrix(
-            (A_e.reshape(-1), (rows, cols)),
-            shape=(fes.ndof_scalar, fes.ndof_scalar),
-        ).tocsr()
+            if t.boundary and t.marker is not None:
+                sel = np.isin(
+                    fes.mesh.bdr_attributes, np.asarray(list(t.marker))
+                )
+                qd = qd * sel[:, None]
+            A_e = _element_matrices(t.kind, B, G, qd)
+            ne, nd = gmap.shape
+            rows = np.repeat(gmap, nd, axis=1).reshape(-1)
+            cols = np.tile(gmap, (1, nd)).reshape(-1)
+            A = A + sp.coo_matrix(
+                (A_e.reshape(-1), (rows, cols)), shape=(n, n)
+            ).tocsr()
         if fes.vdim > 1:
             A = sp.block_diag([A] * fes.vdim).tocsr()
         return A
+
+
+def _assemble_elasticity_matrix_impl(fes, nq1d, term, dtype):
+    import scipy.sparse as sp
+
+    gf = geom_factors_for(fes, nq1d, dtype)
+    d2q = fes.dof_to_quad(nq1d)
+    G = d2q.full_G()                                 # (nq, nd, dim)
+    lam_c, mu_c = term.coeff if term.coeff is not None else (None, None)
+    lam = np.asarray(eval_coeff(lam_c, gf, dtype)) if lam_c is not None else 1.0
+    mu = np.asarray(eval_coeff(mu_c, gf, dtype)) if mu_c is not None else 1.0
+    from ..fem.geom_factors import adjugate as _adj
+
+    A = np.asarray(_adj(gf.jac))
+    det = np.asarray(gf.det)
+    w = np.asarray(gf.w)
+    # physical gradients Gp[e,q,n,a] = Σ_r adj[r,a] G[q,n,r] / det
+    Gp = np.einsum("eqra,qnr->eqna", A, G) / det[..., None, None]
+    wdet = w[None, :] * det
+    lam_q = lam * wdet
+    mu_q = mu * wdet
+    dim = Gp.shape[-1]
+    nd = Gp.shape[2]
+    # elmat[(c,m),(d,n)]
+    div = np.einsum("eq,eqma,eqnb->emanb", lam_q, Gp, Gp)      # λ ∂_c u ∂_d v
+    cross = np.einsum("eq,eqma,eqnb->emanb", mu_q, Gp, Gp)
+    lap = np.einsum("eq,eqma,eqna->emn", mu_q, Gp, Gp)
+    ne = Gp.shape[0]
+    elmat = np.zeros((ne, dim, nd, dim, nd))
+    for c in range(dim):
+        for d in range(dim):
+            elmat[:, c, :, d, :] = (
+                div[:, :, c, :, d] + cross[:, :, d, :, c]
+            )
+            if c == d:
+                elmat[:, c, :, d, :] += lap
+    gm = fes.gather_map.astype(np.int64)
+    ndof = fes.ndof_scalar
+    gidx = gm[:, None, :] + ndof * np.arange(dim)[None, :, None]  # (ne,dim,nd)
+    gflat = gidx.reshape(ne, dim * nd)
+    rows = np.repeat(gflat, dim * nd, axis=1).reshape(-1)
+    cols = np.tile(gflat, (1, dim * nd)).reshape(-1)
+    M = sp.coo_matrix(
+        (elmat.reshape(-1), (rows, cols)), shape=(ndof * dim, ndof * dim)
+    ).tocsr()
+    return M
 
 
 def _element_matrices(kind: str, B, G, qd) -> np.ndarray:

@@ -70,6 +70,31 @@ def _bdr_geom(fes, nq1d, dtype_str):
     return gf, db
 
 
+def boundary_lf_vector(
+    fes, vec, bdr_marker=None, nq1d: Optional[int] = None, dtype=None
+) -> jnp.ndarray:
+    """(f, v)_∂Ω for vector f on a vdim space → (ndof_scalar·vdim,) byNODES
+    (VectorBoundaryLFIntegrator, lininteg.hpp:339)."""
+    mesh = fes.mesh
+    rt = real_t(dtype)
+    if mesh.nbe == 0:
+        return jnp.zeros(fes.ndof, dtype=rt)
+    gf, db = _bdr_geom(fes, nq1d, str(rt))
+    if callable(vec):
+        fq = jnp.asarray(vec(gf.x), dtype=rt)           # (nbe, nq, vdim)
+    else:
+        arr = jnp.asarray(vec, dtype=rt)
+        nbe, nq = gf.det.shape
+        fq = jnp.broadcast_to(arr[None, None, :], (nbe, nq, arr.shape[0]))
+    q = gf.wdet[..., None] * fq
+    if bdr_marker is not None:
+        sel = np.isin(mesh.bdr_attributes, np.asarray(list(bdr_marker)))
+        q = q * jnp.asarray(sel.astype(float), dtype=rt)[:, None, None]
+    b_e = eval_values_t(db, q)                           # (nbe, ndf, vdim)
+    b = bdr_restriction_for(fes).mult_transpose(b_e)     # (ndof_scalar, vdim)
+    return b.T.reshape(-1)
+
+
 def boundary_lf(
     fes, coeff, bdr_marker=None, nq1d: Optional[int] = None, dtype=None
 ) -> jnp.ndarray:
