@@ -3,3 +3,4 @@ from .fespace import FESpace, L2FESpace, element_node_coords
 from .restriction import ElementRestriction
 from .build import restriction_for, geom_factors_for, basis_for, bdr_restriction_for
 from . import basis, coefficient, geom_factors, gridfunction, intrules, quadinterp
+from . import transfer

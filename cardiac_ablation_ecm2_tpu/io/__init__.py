@@ -1,2 +1,3 @@
 from .mesh_io import read_mfem_mesh, write_mfem_mesh
 from .vtu import write_vtu, vertex_values
+from .checkpoint import DataCollection, save_gridfunction, load_gridfunction

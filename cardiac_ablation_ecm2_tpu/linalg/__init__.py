@@ -1,3 +1,5 @@
 from .solvers import cg, gmres, power_method, default_dot, SolveInfo
 from .smoothers import jacobi, chebyshev
 from . import ode
+from .newton import newton, NewtonInfo
+from .multigrid import Multigrid, MGLevel, make_p_multigrid, make_h_multigrid

@@ -1,0 +1,63 @@
+"""Checkpoint/restart: save → load → continue must match uninterrupted run
+(joule.cpp:563-575 restart pattern)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cardiac_ablation_ecm2_tpu.fem import FESpace
+from cardiac_ablation_ecm2_tpu.io.checkpoint import (
+    DataCollection,
+    load_gridfunction,
+    save_gridfunction,
+)
+from cardiac_ablation_ecm2_tpu.linalg import ode
+from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_2d
+from cardiac_ablation_ecm2_tpu.models import heat
+
+
+def test_restart_bit_exact(tmp_path):
+    mesh = make_cartesian_2d(6, 6)
+    fes = FESpace(mesh, 2)
+    op = heat.ConductionOperator(fes, kappa=0.3, alpha=0.1, rel_tol=1e-13)
+    step = heat.make_stepper(op, ode.select("sdirk23"))
+
+    u = jnp.asarray(np.random.default_rng(3).random(fes.ndof))
+    t, dt = 0.0, 0.01
+
+    # run 4 steps straight
+    u_ref, t_ref = u, t
+    for _ in range(4):
+        u_ref, t_ref = step(u_ref, t_ref, dt)
+
+    # run 2 steps, checkpoint, reload, run 2 more
+    dc = DataCollection(path=str(tmp_path / "dc"), mesh=mesh)
+    u2, t2 = u, t
+    for i in range(2):
+        u2, t2 = step(u2, t2, dt)
+    dc.register_field("temperature", fes, u2)
+    dc.set_time(float(t2), dt, cycle=2)
+    dc.save(write_vtu=True)
+
+    dc2 = DataCollection(path=str(tmp_path / "dc"), mesh=mesh)
+    dc2.register_field("temperature", fes, None)
+    dc2.fes_map["temperature"] = fes
+    assert dc2.latest_cycle() == 2
+    dc2.load(2)
+    u3 = dc2.fields["temperature"]
+    t3 = dc2.time
+    assert t3 == float(t2)
+    for _ in range(2):
+        u3, t3 = step(u3, t3, dt)
+
+    assert np.array_equal(np.asarray(u3), np.asarray(u_ref))  # bit-exact
+
+
+def test_gridfunction_roundtrip(tmp_path):
+    mesh = make_cartesian_2d(3, 3)
+    fes = FESpace(mesh, 3)
+    u = jnp.asarray(np.random.default_rng(0).random(fes.ndof))
+    fn = str(tmp_path / "u.npz")
+    save_gridfunction(fn, fes, u)
+    u2, order, vdim = load_gridfunction(fn)
+    assert order == 3 and vdim == 1
+    assert np.array_equal(np.asarray(u), np.asarray(u2))
