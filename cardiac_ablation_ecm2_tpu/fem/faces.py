@@ -1,0 +1,227 @@
+"""Face data for DG methods: interior/boundary face quadrature, per-side
+basis evaluation, and outward normals.
+
+Reference analog: the face-restriction machinery (``L2FaceRestriction``,
+``fem/restriction.hpp:455``) + ``FaceElementTransformations``
+(``fem/eltrans.hpp:749``) + ``FaceQuadratureInterpolator``.
+
+TPU-native design: all orientation logic runs host-side at setup.  Each face
+gets a canonical quadrature frame (derived from its sorted global vertex ids,
+the same canonicalization used for dof numbering); for each adjacent element
+we precompute the dense matrix ``B[f, q, n]`` evaluating that element's
+volume basis at the face quadrature points.  The device-side face apply is
+then two batched matmuls + a segment-sum scatter — no orientation branches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .basis import h1_nodes_1d, lagrange_matrices, lattice_multi_index, simplex_basis_matrices
+from .geometry import DIMENSION, FACES, FACE_GEOM, Geometry, IS_TENSOR, NUM_VERTS, REF_VERTS
+from .intrules import gauss_legendre_1d, simplex_rule, tensor_rule
+
+
+@dataclasses.dataclass(eq=False)
+class FaceData:
+    """Host-side numpy face tables (converted to device arrays by users)."""
+
+    # interior faces
+    elem0: np.ndarray      # (nfi,)
+    elem1: np.ndarray      # (nfi,)
+    B0: np.ndarray         # (nfi, nq_f, nd) basis of elem0 at face qpts
+    B1: np.ndarray         # (nfi, nq_f, nd)
+    normal: np.ndarray     # (nfi, nq_f, dim) unit, outward from elem0
+    wdet: np.ndarray       # (nfi, nq_f) surface measure × quad weight
+    xq: np.ndarray         # (nfi, nq_f, dim) physical face quad points
+    # boundary faces
+    b_elem: np.ndarray     # (nfb,)
+    b_B: np.ndarray        # (nfb, nq_f, nd)
+    b_normal: np.ndarray   # (nfb, nq_f, dim) outward
+    b_wdet: np.ndarray     # (nfb, nq_f)
+    b_xq: np.ndarray       # (nfb, nq_f, dim)
+    b_attr: np.ndarray     # (nfb,)
+
+
+def _face_quad(fgeom: Geometry, nq1d: int):
+    if fgeom == Geometry.SEGMENT:
+        x, w = gauss_legendre_1d(nq1d)
+        return x[:, None].copy(), w.copy()
+    if fgeom == Geometry.SQUARE:
+        return tensor_rule(2, nq1d)
+    if fgeom == Geometry.TRIANGLE:
+        return simplex_rule(2, 2 * nq1d - 1)
+    raise ValueError(fgeom)
+
+
+def _eval_volume_basis(geom: Geometry, p: int, pts: np.ndarray) -> np.ndarray:
+    """Volume nodal basis at arbitrary reference points → (npts, nd)."""
+    if IS_TENSOR.get(geom, False):
+        x1 = h1_nodes_1d(p)
+        dim = DIMENSION[geom]
+        per = [lagrange_matrices(x1, pts[:, d])[0] for d in range(dim)]
+        B = per[0]
+        if dim >= 2:
+            B = np.einsum("qi,qj->qji", per[0], per[1]).reshape(len(pts), -1)
+        if dim == 3:
+            B = np.einsum("qi,qj,qk->qkji", per[0], per[1], per[2]).reshape(
+                len(pts), -1
+            )
+        return B
+    B, _ = simplex_basis_matrices(geom, p, pts)
+    return B
+
+
+def build_face_data(mesh, p: int, nq1d: Optional[int] = None,
+                    nodes: str = "l2") -> FaceData:
+    """Assemble all face tables for an order-p (L2) space on ``mesh``."""
+    geom = mesh.geom
+    dim = mesh.dim
+    fgeom = FACE_GEOM[geom]
+    if nq1d is None:
+        nq1d = p + 2
+    fq, fw = _face_quad(fgeom, nq1d)            # canonical face rule
+    nq_f = len(fw)
+
+    loc_faces = FACES[geom]
+    latt_v = REF_VERTS[geom]                    # (nv_el, dim) float
+    elems = mesh.elements
+    ne = mesh.ne
+
+    # gather (elem, local_face) incidences keyed by sorted vertex tuple
+    from collections import defaultdict
+
+    incid = defaultdict(list)
+    for lf, fverts in enumerate(loc_faces):
+        fv = elems[:, list(fverts)]
+        key = np.sort(fv, axis=1)
+        for e in range(ne):
+            incid[tuple(key[e])].append((e, lf))
+
+    bdr_lookup = {}
+    for i, bconn in enumerate(mesh.boundary):
+        bdr_lookup[tuple(sorted(bconn.tolist()))] = i
+
+    int_rows, bdr_rows = [], []
+    for key, lst in incid.items():
+        if len(lst) == 2:
+            int_rows.append((key, lst[0], lst[1]))
+        elif len(lst) == 1:
+            attr = mesh.bdr_attributes[bdr_lookup[key]] if key in bdr_lookup else 0
+            bdr_rows.append((key, lst[0], attr))
+        else:
+            raise ValueError("nonmanifold face")
+
+    # canonical frame for a face: origin = corner with min global vertex id,
+    # first axis toward its smaller cyclic neighbor (same rule as fespace)
+    def face_ref_points(e, lf):
+        """Element-reference coords of the canonical face quad points, plus
+        the face corner coords for geometry."""
+        fverts = loc_faces[lf]
+        k = len(fverts)
+        gids = elems[e, list(fverts)]
+        r = int(np.argmin(gids))
+        d = 1 if gids[(r + 1) % k] < gids[(r - 1) % k] else -1
+        # canonical corners in cyclic order starting at r, direction d
+        cyc = [(r + d * i) % k for i in range(k)]
+        corners = latt_v[[fverts[c] for c in cyc]]      # (k, dim) elem-ref
+        if k == 4 or (k == 2):
+            # bilinear (segment/quad) map from canonical coords
+            if k == 2:
+                a = fq[:, 0:1]
+                pts = corners[0] * (1 - a) + corners[1] * a
+            else:
+                a, b = fq[:, 0:1], fq[:, 1:2]
+                pts = (
+                    corners[0] * (1 - a) * (1 - b)
+                    + corners[1] * a * (1 - b)
+                    + corners[2] * a * b
+                    + corners[3] * (1 - a) * b
+                )
+        else:  # triangle
+            a, b = fq[:, 0:1], fq[:, 1:2]
+            pts = corners[0] * (1 - a - b) + corners[1] * a + corners[2] * b
+        return pts
+
+    nd = len(lattice_multi_index(geom, p))
+    nfi = len(int_rows)
+    B0 = np.zeros((nfi, nq_f, nd))
+    B1 = np.zeros((nfi, nq_f, nd))
+    e0s = np.zeros(nfi, dtype=np.int64)
+    e1s = np.zeros(nfi, dtype=np.int64)
+    nrm = np.zeros((nfi, nq_f, dim))
+    wdt = np.zeros((nfi, nq_f))
+    xqs = np.zeros((nfi, nq_f, dim))
+
+    cent = mesh.vertices[mesh.elements].mean(axis=1)
+
+    def canonical_face_phys(key, e, lf):
+        """Physical points / normal / measure for the canonical face frame."""
+        fverts = loc_faces[lf]
+        k = len(fverts)
+        gids = elems[e, list(fverts)]
+        r = int(np.argmin(gids))
+        d = 1 if gids[(r + 1) % k] < gids[(r - 1) % k] else -1
+        cyc = [(r + d * i) % k for i in range(k)]
+        gl = [elems[e, fverts[c]] for c in cyc]
+        V = mesh.vertices[gl]                          # (k, sdim)
+        if k == 2:
+            a = fq[:, 0:1]
+            x = V[0] * (1 - a) + V[1] * a
+            t = np.broadcast_to(V[1] - V[0], x.shape)
+            n = np.stack([t[:, 1], -t[:, 0]], axis=1)
+        elif k == 4:
+            a, b = fq[:, 0:1], fq[:, 1:2]
+            x = (V[0] * (1 - a) * (1 - b) + V[1] * a * (1 - b)
+                 + V[2] * a * b + V[3] * (1 - a) * b)
+            ta = (V[1] - V[0]) * (1 - b) + (V[2] - V[3]) * b
+            tb = (V[3] - V[0]) * (1 - a) + (V[2] - V[1]) * a
+            n = np.cross(ta, tb)
+        else:  # triangle
+            a, b = fq[:, 0:1], fq[:, 1:2]
+            x = V[0] * (1 - a - b) + V[1] * a + V[2] * b
+            ta = np.broadcast_to(V[1] - V[0], x.shape)
+            tb = np.broadcast_to(V[2] - V[0], x.shape)
+            n = np.cross(ta, tb)
+        mag = np.linalg.norm(n, axis=1)
+        return x, n / mag[:, None], mag
+
+    for i, (key, (e0, lf0), (e1, lf1)) in enumerate(int_rows):
+        r0 = face_ref_points(e0, lf0)
+        r1 = face_ref_points(e1, lf1)
+        B0[i] = _eval_volume_basis(geom, p, r0)
+        B1[i] = _eval_volume_basis(geom, p, r1)
+        e0s[i], e1s[i] = e0, e1
+        x, n, mag = canonical_face_phys(key, e0, lf0)
+        # orient outward from e0
+        sgn = np.sign((x.mean(axis=0) - cent[e0]) @ n.mean(axis=0))
+        nrm[i] = n * (sgn if sgn != 0 else 1.0)
+        wdt[i] = fw * mag
+        xqs[i] = x
+
+    nfb = len(bdr_rows)
+    bB = np.zeros((nfb, nq_f, nd))
+    be = np.zeros(nfb, dtype=np.int64)
+    bn = np.zeros((nfb, nq_f, dim))
+    bw = np.zeros((nfb, nq_f))
+    bx = np.zeros((nfb, nq_f, dim))
+    battr = np.zeros(nfb, dtype=np.int64)
+    for i, (key, (e0, lf0), attr) in enumerate(bdr_rows):
+        r0 = face_ref_points(e0, lf0)
+        bB[i] = _eval_volume_basis(geom, p, r0)
+        be[i] = e0
+        x, n, mag = canonical_face_phys(key, e0, lf0)
+        sgn = np.sign((x.mean(axis=0) - cent[e0]) @ n.mean(axis=0))
+        bn[i] = n * (sgn if sgn != 0 else 1.0)
+        bw[i] = fw * mag
+        bx[i] = x
+        battr[i] = attr
+
+    return FaceData(
+        elem0=e0s, elem1=e1s, B0=B0, B1=B1, normal=nrm, wdet=wdt, xq=xqs,
+        b_elem=be, b_B=bB, b_normal=bn, b_wdet=bw, b_xq=bx, b_attr=battr,
+    )

@@ -398,5 +398,10 @@ class L2FESpace:
         nq1d = self.order + 1 + config.quad_extra
         return make_dof_to_quad(self.mesh.geom, self.order, nq1d)
 
+    def dof_to_quad(self, nq1d: Optional[int] = None) -> DofToQuad:
+        if nq1d is None:
+            return self.d2q
+        return make_dof_to_quad(self.mesh.geom, self.order, nq1d)
+
     def essential_dofs(self, bdr_marker=None) -> np.ndarray:
         return np.zeros(0, dtype=np.int32)
