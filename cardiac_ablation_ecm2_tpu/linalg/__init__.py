@@ -3,3 +3,5 @@ from .smoothers import jacobi, chebyshev
 from . import ode
 from .newton import newton, NewtonInfo
 from .multigrid import Multigrid, MGLevel, make_p_multigrid, make_h_multigrid
+from .krylov_extra import minres, bicgstab
+from .lobpcg import lobpcg, EigResult
