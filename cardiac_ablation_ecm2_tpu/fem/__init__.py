@@ -4,3 +4,4 @@ from .restriction import ElementRestriction
 from .build import restriction_for, geom_factors_for, basis_for, bdr_restriction_for
 from . import basis, coefficient, geom_factors, gridfunction, intrules, quadinterp
 from . import transfer
+from . import estimators, faces

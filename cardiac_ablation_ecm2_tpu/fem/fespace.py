@@ -56,7 +56,22 @@ from .geometry import (
 )
 
 _VERT, _EDGE, _FACE, _CELL = 0, 1, 2, 3
-_KEYLEN = 8
+# packed key layout: [k0, k1, k2, k3, meta] with
+# meta = etype<<48 | p0<<32 | p1<<16 | p2  (lattice params < 2^16)
+_KEYLEN = 5
+
+
+def _meta(etype, p0=0, p1=0, p2=0):
+    return (etype << 48) | (int(p0) << 32) | (int(p1) << 16) | int(p2)
+
+
+def _meta_arr(etype, p0=0, p1=0, p2=0):
+    return (
+        (np.int64(etype) << 48)
+        + (np.asarray(p0, np.int64) << 32)
+        + (np.asarray(p1, np.int64) << 16)
+        + np.asarray(p2, np.int64)
+    )
 
 
 def _node_index_lookup(geom: Geometry, p: int) -> Dict[Tuple[int, ...], int]:
@@ -74,7 +89,8 @@ def _elem_node_keys(geom: Geometry, p: int, elem_verts: np.ndarray,
     dim = DIMENSION[geom]
     nd = len(lattice_multi_index(geom, p))
     ne = elem_verts.shape[0]
-    keys = np.full((ne, nd, _KEYLEN), -1, dtype=np.int64)
+    keys = np.empty((ne, nd, _KEYLEN), dtype=np.int64)
+    keys[..., :4] = -1
     lookup = _node_index_lookup(geom, p)
     latt_v = np.rint(REF_VERTS[geom] * p).astype(np.int64)  # (nv_el, dim)
     done = np.zeros(nd, dtype=bool)
@@ -82,8 +98,8 @@ def _elem_node_keys(geom: Geometry, p: int, elem_verts: np.ndarray,
     # --- vertices ---
     for lv in range(NUM_VERTS[geom]):
         n = lookup[tuple(latt_v[lv])]
-        keys[:, n, 0] = _VERT
-        keys[:, n, 1] = elem_verts[:, lv]
+        keys[:, n, 0] = elem_verts[:, lv]
+        keys[:, n, 4] = _meta(_VERT)
         done[n] = True
 
     # --- edge nodes ---
@@ -98,10 +114,9 @@ def _elem_node_keys(geom: Geometry, p: int, elem_verts: np.ndarray,
                 latt = (A * (p - t) + B * t) // p
                 n = lookup[tuple(latt)]
                 tc = np.where(flip, p - t, t)
-                keys[:, n, 0] = _EDGE
-                keys[:, n, 1] = lo
-                keys[:, n, 2] = hi
-                keys[:, n, 5] = tc
+                keys[:, n, 0] = lo
+                keys[:, n, 1] = hi
+                keys[:, n, 4] = _meta_arr(_EDGE, tc)
                 done[n] = True
 
     # --- face nodes (3D) ---
@@ -133,10 +148,8 @@ def _elem_node_keys(geom: Geometry, p: int, elem_verts: np.ndarray,
                         rel = np.array([u, v]) - cr            # (ne, 2)
                         a = (rel * eu).sum(axis=1)
                         b = (rel * ev).sum(axis=1)
-                        keys[:, n, 0] = _FACE
-                        keys[:, n, 1:5] = gsort
-                        keys[:, n, 5] = a
-                        keys[:, n, 6] = b
+                        keys[:, n, 0:4] = gsort
+                        keys[:, n, 4] = _meta_arr(_FACE, a, b)
                         done[n] = True
             elif k == 3:
                 # triangle face: node = barycentric (b0,b1,b2), sum=p, all≥1;
@@ -155,18 +168,16 @@ def _elem_node_keys(geom: Geometry, p: int, elem_verts: np.ndarray,
                         )
                         a = bar[np.arange(ne), (r + d) % 3]
                         bb = bar[np.arange(ne), (r - d) % 3]
-                        keys[:, n, 0] = _FACE
-                        keys[:, n, 1:4] = gsort
-                        keys[:, n, 5] = a
-                        keys[:, n, 6] = bb
+                        keys[:, n, 0:3] = gsort
+                        keys[:, n, 4] = _meta_arr(_FACE, a, bb)
                         done[n] = True
 
     # --- interior nodes ---
     mi = lattice_multi_index(geom, p)
     for n in np.nonzero(~done)[0]:
-        keys[:, n, 0] = _CELL
-        keys[:, n, 1] = elem_ids
-        keys[:, n, 5 : 5 + dim] = mi[n]
+        keys[:, n, 0] = elem_ids
+        mi3 = list(mi[n]) + [0] * (3 - dim)
+        keys[:, n, 4] = _meta(_CELL, *mi3)
 
     return keys
 
@@ -195,6 +206,8 @@ class FESpace:
     dof_coords: np.ndarray = dataclasses.field(init=False)       # (ndof_scalar, sdim)
 
     def __post_init__(self):
+        from ..utils.native import encode_rows
+
         mesh, p = self.mesh, self.order
         geom = mesh.geom
         keys = _elem_node_keys(
@@ -202,12 +215,9 @@ class FESpace:
         )
         ne, nd, _ = keys.shape
         flat = keys.reshape(ne * nd, _KEYLEN)
-        void = _rows_to_void(flat)
-        uniq, inv = np.unique(void, return_inverse=True)
-        self.ndof_scalar = len(uniq)
-        self.gather_map = inv.reshape(ne, nd).astype(np.int32)
 
-        # boundary gather map: keys of boundary-face nodes, matched into uniq
+        # boundary node keys (looked up against the volume keys)
+        bflat = None
         if mesh.nbe > 0 and mesh.dim > 1:
             bgeom = mesh.bdr_geom
             bkeys = _elem_node_keys(
@@ -217,12 +227,15 @@ class FESpace:
             # rewrite CELL keys emitted for the face element's interior
             bkeys = _bdr_cell_to_face_keys(bgeom, p, mesh.boundary, bkeys)
             bflat = bkeys.reshape(-1, _KEYLEN)
-            bvoid = _rows_to_void(bflat)
-            pos = np.searchsorted(uniq, bvoid)
-            ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == bvoid)
-            if not np.all(ok):
+
+        count, main_ids, qids = encode_rows(flat, bflat)
+        self.ndof_scalar = count
+        self.gather_map = main_ids.reshape(ne, nd).astype(np.int32)
+
+        if bflat is not None:
+            if np.any(qids < 0):
                 raise ValueError("boundary face nodes not found in volume dofs")
-            self.bdr_gather_map = pos.reshape(mesh.nbe, -1).astype(np.int32)
+            self.bdr_gather_map = qids.reshape(mesh.nbe, -1).astype(np.int32)
         elif mesh.dim == 1:
             # boundary of a 1D mesh: the two endpoint vertices
             self.bdr_gather_map = np.zeros((0, 1), dtype=np.int32)
@@ -292,7 +305,7 @@ def _bdr_cell_to_face_keys(
     nxt = bverts[np.arange(nbe), (r + 1) % k]
     prv = bverts[np.arange(nbe), (r - 1) % k]
     d = np.where(nxt < prv, 1, -1)
-    cell_nodes = np.nonzero(bkeys[0, :, 0] == _CELL)[0]
+    cell_nodes = np.nonzero((bkeys[0, :, 4] >> 48) == _CELL)[0]
     if bgeom == Geometry.SQUARE:
         corner_uv = np.array([[0, 0], [p, 0], [p, p], [0, p]])
         cr = corner_uv[r]
@@ -303,11 +316,8 @@ def _bdr_cell_to_face_keys(
             rel = np.array([u, v]) - cr
             a = (rel * eu).sum(axis=1)
             b = (rel * ev).sum(axis=1)
-            bkeys[:, n, 0] = _FACE
-            bkeys[:, n, 1:5] = gsort
-            bkeys[:, n, 5] = a
-            bkeys[:, n, 6] = b
-            bkeys[:, n, 7] = -1
+            bkeys[:, n, 0:4] = gsort
+            bkeys[:, n, 4] = _meta_arr(_FACE, a, b)
     elif bgeom == Geometry.TRIANGLE:
         for n in cell_nodes:
             i, j = mi[n]
@@ -317,12 +327,8 @@ def _bdr_cell_to_face_keys(
             )
             a = bar[np.arange(nbe), (r + d) % 3]
             bb = bar[np.arange(nbe), (r - d) % 3]
-            bkeys[:, n, 0] = _FACE
-            bkeys[:, n, 1:4] = gsort
-            bkeys[:, n, 4] = -1
-            bkeys[:, n, 5] = a
-            bkeys[:, n, 6] = bb
-            bkeys[:, n, 7] = -1
+            bkeys[:, n, 0:3] = gsort
+            bkeys[:, n, 4] = _meta_arr(_FACE, a, bb)
     return bkeys
 
 
@@ -344,7 +350,8 @@ def element_node_coords(mesh: Mesh, p: int) -> np.ndarray:
     else:
         d2q1 = _q1_eval_matrix(geom, ref)
         B = d2q1
-    return np.einsum("nv,evs->ens", B, mesh.vertices[mesh.elements])
+    V = mesh.vertices[mesh.elements]                  # (ne, nv, sdim)
+    return np.matmul(B[None, :, :], V)                # (ne, nd, sdim)
 
 
 def _q1_eval_matrix(geom: Geometry, pts: np.ndarray) -> np.ndarray:

@@ -38,8 +38,11 @@ class ElementRestriction:
 
     @staticmethod
     def from_map(gather_map: np.ndarray, ndof: int) -> "ElementRestriction":
+        from ..utils.config import index_t
+        from ..utils.native import counting_argsort
+
         flat = gather_map.reshape(-1).astype(np.int64)
-        perm = np.argsort(flat, kind="stable")
+        perm = counting_argsort(flat, int(ndof) + 1)
         seg = flat[perm]
         return ElementRestriction(
             ndof=int(ndof),

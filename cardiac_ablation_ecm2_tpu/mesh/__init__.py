@@ -7,3 +7,4 @@ from .mesh import (
     unique_edges,
     unique_faces,
 )
+from . import amr, point_eval
