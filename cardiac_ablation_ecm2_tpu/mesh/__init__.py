@@ -8,3 +8,4 @@ from .mesh import (
     unique_faces,
 )
 from . import amr, point_eval
+from . import submesh
