@@ -1,0 +1,81 @@
+"""CEED BP-style benchmarks: BP1 (mass) / BP3 (diffusion) CG throughput.
+
+Reference analog: ``tests/benchmarks/bench_assembly_levels.cpp:173-194`` —
+MDof/s = dofs × CG iterations / solve seconds, per order and assembly level.
+
+Usage: python benchmarks/bp.py [--orders 1,2,3,4] [--n 32] [--dtype float32]
+Prints one JSON line per (bp, order).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--orders", default="1,2,3,4")
+    ap.add_argument("--n", type=int, default=32)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from cardiac_ablation_ecm2_tpu.fem import FESpace
+    from cardiac_ablation_ecm2_tpu.linalg.solvers import cg
+    from cardiac_ablation_ecm2_tpu.linalg.smoothers import jacobi
+    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_3d
+    from cardiac_ablation_ecm2_tpu.ops import BilinearForm, ConstrainedOperator
+    from cardiac_ablation_ecm2_tpu.utils.config import configure
+
+    configure(dtype=args.dtype)
+
+    for order in [int(o) for o in args.orders.split(",")]:
+        # keep dof count roughly constant across orders
+        n = max(2, args.n // order)
+        mesh = make_cartesian_3d(n, n, n)
+        fes = FESpace(mesh, order)
+        for bp, kind in (("BP1", "mass"), ("BP3", "diffusion")):
+            a = BilinearForm(fes).add_domain_integrator(kind)
+            A = ConstrainedOperator.wrap(
+                a.assemble().operator(),
+                fes.essential_dofs() if kind == "diffusion" else [],
+            )
+            M = jacobi(A.diagonal())
+            b = jnp.ones(fes.ndof, dtype=jnp.dtype(args.dtype))
+            iters = args.iters
+
+            @jax.jit
+            def solve(b):
+                return cg(A.mult, b, M=M, rel_tol=0.0, max_iter=iters)
+
+            x, info = solve(b)
+            jax.block_until_ready(x)
+            t0 = time.perf_counter()
+            x, info = solve(b)
+            jax.block_until_ready(x)
+            dt_s = time.perf_counter() - t0
+            mdofs = fes.ndof * iters / dt_s / 1e6
+            print(json.dumps({
+                "bench": bp, "order": order, "ndof": fes.ndof,
+                "cg_iters": iters, "seconds": round(dt_s, 4),
+                "MDof_per_s": round(mdofs, 2),
+                "dtype": args.dtype,
+                "device": str(jax.devices()[0]),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

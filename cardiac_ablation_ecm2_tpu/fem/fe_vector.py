@@ -1,0 +1,207 @@
+"""Vector finite elements: lowest-order Nédélec H(curl) and Raviart-Thomas
+H(div) spaces on tensor-product meshes.
+
+Reference analog: ``ND_FECollection`` / ``RT_FECollection``
+(``fem/fe_coll.hpp:499,406``) with basis definitions in ``fem/fe/fe_nd.cpp``
+/ ``fe_rt.cpp`` and orientation handling via ``DofTransformation`` — here
+orientation is a per-(element, local dof) **sign array** folded into the
+restriction (tets need true transformations only at order ≥ 2; lowest order
+everywhere reduces to signs).
+
+Dof conventions:
+* ND0: one dof per mesh edge = ∫_e E·t, global tangent from min→max vertex id.
+* RT0: one dof per mesh face = ∫_f u·n, global normal = the face's canonical
+  frame normal (first-axis × second-axis of the sorted-vertex canonical
+  cycle, the same frame used for H1 face dofs).
+
+Pullbacks (applied in ops/vecfe.py): H(curl) covariant E = J^{-T} Ê;
+H(div) contravariant (Piola) u = J û / det J.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import numpy as np
+
+from ..mesh.mesh import Mesh, unique_edges, unique_faces
+from .geometry import DIMENSION, EDGES, FACES, Geometry, REF_VERTS
+from .intrules import tensor_rule
+
+
+# ----------------------------------------------------------------------------
+# reference basis tables (lowest order, tensor geometries)
+# ----------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def nd0_basis(geom: Geometry, nq1d: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ND0 reference basis: returns (points (nq,dim), B (nq,ne_loc,dim),
+    CURL (nq, ne_loc, ncurl)) with local edge functions oriented along the
+    local EDGES direction (la → lb); ncurl = 1 (2D) or 3 (3D)."""
+    dim = DIMENSION[geom]
+    pts, _ = tensor_rule(dim, nq1d)
+    edges = EDGES[geom]
+    rv = REF_VERTS[geom]
+    nd = len(edges)
+    B = np.zeros((len(pts), nd, dim))
+    ncurl = 1 if dim == 2 else 3
+    C = np.zeros((len(pts), nd, ncurl))
+    for k, (a, b) in enumerate(edges):
+        va, vb = rv[a], rv[b]
+        d = int(np.argmax(np.abs(vb - va)))          # edge direction axis
+        sgn = 1.0 if vb[d] > va[d] else -1.0
+        # φ = sgn · ê_d · Π_{m≠d} λ_m,  λ_m = (1-x_m) if edge at x_m=0 else x_m
+        other = [m for m in range(dim) if m != d]
+        lam = np.ones(len(pts))
+        dlam = {m: np.ones(len(pts)) for m in other}
+        for m in other:
+            c = va[m]                                 # 0 or 1: edge position
+            lam_m = pts[:, m] if c > 0.5 else 1.0 - pts[:, m]
+            dl_m = 1.0 if c > 0.5 else -1.0
+            lam = lam * lam_m
+            for mm in other:
+                if mm != m:
+                    dlam[mm] = dlam[mm] * lam_m
+            dlam[m] = dlam[m] * dl_m
+        B[:, k, d] = sgn * lam
+        # curl: in 3D (∇×φ)_i = ε_{i j d} ∂_j (sgn·lam); 2D scalar curl =
+        # ∂_x φ_y − ∂_y φ_x
+        if dim == 2:
+            j = other[0]
+            # φ has only component d; scalar curl = ±∂_j φ_d
+            s = 1.0 if (j, d) == (0, 1) else -1.0
+            C[:, k, 0] = s * sgn * dlam[j]
+        else:
+            for j in other:
+                i = 3 - j - d                          # the remaining axis
+                eps = _levi(i, j, d)
+                C[:, k, i] += eps * sgn * dlam[j]
+    return pts, B, C
+
+
+def _levi(i, j, k):
+    if (i, j, k) in ((0, 1, 2), (1, 2, 0), (2, 0, 1)):
+        return 1.0
+    if (i, j, k) in ((0, 2, 1), (2, 1, 0), (1, 0, 2)):
+        return -1.0
+    return 0.0
+
+
+@functools.lru_cache(maxsize=None)
+def rt0_basis(geom: Geometry, nq1d: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RT0 reference basis: (points, B (nq,nf_loc,dim), DIV (nq,nf_loc)),
+    oriented along each local face's OUTWARD normal."""
+    dim = DIMENSION[geom]
+    pts, _ = tensor_rule(dim, nq1d)
+    faces = FACES[geom]
+    rv = REF_VERTS[geom]
+    nf = len(faces)
+    B = np.zeros((len(pts), nf, dim))
+    D = np.zeros((len(pts), nf))
+    for k, fverts in enumerate(faces):
+        ctr = rv[list(fverts)].mean(axis=0)
+        d = int(np.argmax(np.abs(ctr - 0.5)))        # face-normal axis
+        at_one = ctr[d] > 0.5
+        # φ = x_d ê_d (face x_d=1, outward +ê_d) or (x_d − 1) ê_d (x_d=0,
+        # outward −ê_d ⇒ flux +1)
+        if at_one:
+            B[:, k, d] = pts[:, d]
+            D[:, k] = 1.0
+        else:
+            B[:, k, d] = pts[:, d] - 1.0
+            D[:, k] = 1.0
+    return pts, B, D
+
+
+# ----------------------------------------------------------------------------
+# spaces
+# ----------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(eq=False)
+class NDSpace:
+    """Lowest-order Nédélec space: dofs on mesh edges."""
+
+    mesh: Mesh
+    order: int = 1
+
+    def __post_init__(self):
+        assert self.order == 1, "ND: lowest order only (this round)"
+        edges, elem_edge = unique_edges(self.mesh)
+        self.ndof = len(edges)
+        self.gather_map = elem_edge.astype(np.int32)       # (ne, n_loc_edges)
+        # sign: local edge (la→lb) vs global (min→max)
+        loc = np.array(EDGES[self.mesh.geom])
+        ev = self.mesh.elements[:, loc]                    # (ne, nle, 2)
+        self.signs = np.where(ev[:, :, 0] < ev[:, :, 1], 1.0, -1.0)
+
+    @property
+    def nd_elem(self):
+        return self.gather_map.shape[1]
+
+
+@dataclasses.dataclass(eq=False)
+class RTSpace:
+    """Lowest-order Raviart-Thomas space: dofs on mesh faces."""
+
+    mesh: Mesh
+    order: int = 1
+
+    def __post_init__(self):
+        assert self.order == 1, "RT: lowest order only (this round)"
+        mesh = self.mesh
+        if mesh.dim == 2:
+            faces, elem_face = unique_edges(mesh)
+            self.ndof = len(faces)
+            self.gather_map = elem_face.astype(np.int32)
+            # canonical 2D face (edge) normal: rotate the min→max tangent by
+            # -90°; local outward normal from the element side
+            loc = np.array(FACES[mesh.geom])               # edges as faces
+            ev = mesh.elements[:, loc]                     # (ne, nlf, 2)
+            V = mesh.vertices
+            t_canon = np.where(
+                (ev[:, :, 0] < ev[:, :, 1])[..., None],
+                V[ev[:, :, 1]] - V[ev[:, :, 0]],
+                V[ev[:, :, 0]] - V[ev[:, :, 1]],
+            )
+            n_canon = np.stack([t_canon[..., 1], -t_canon[..., 0]], axis=-1)
+            cent = V[mesh.elements].mean(axis=1)           # (ne, 2)
+            mid = 0.5 * (V[ev[:, :, 0]] + V[ev[:, :, 1]])
+            outward = mid - cent[:, None, :]
+            self.signs = np.where(
+                np.sum(n_canon * outward, axis=-1) > 0, 1.0, -1.0
+            )
+        else:
+            faces, elem_face = unique_faces(mesh)
+            self.ndof = len(faces)
+            self.gather_map = elem_face.astype(np.int32)
+            # canonical normal: from the canonical cyclic frame of each face;
+            # sign = alignment of the element's outward normal with it
+            loc_faces = FACES[mesh.geom]
+            V = mesh.vertices
+            ne = mesh.ne
+            signs = np.zeros((ne, len(loc_faces)))
+            cent = V[mesh.elements].mean(axis=1)
+            for lf, fverts in enumerate(loc_faces):
+                gf = mesh.elements[:, list(fverts)]        # (ne, 4) cyclic
+                r = np.argmin(gf, axis=1)
+                nxt = gf[np.arange(ne), (r + 1) % 4]
+                prv = gf[np.arange(ne), (r - 1) % 4]
+                d = np.where(nxt < prv, 1, -1)
+                g0 = gf[np.arange(ne), r]
+                g1 = gf[np.arange(ne), (r + d) % 4]
+                g3 = gf[np.arange(ne), (r - d) % 4]
+                n_canon = np.cross(V[g1] - V[g0], V[g3] - V[g0])
+                mid = V[gf].mean(axis=1)
+                outward = mid - cent
+                signs[:, lf] = np.where(
+                    np.sum(n_canon * outward, axis=-1) > 0, 1.0, -1.0
+                )
+            self.signs = signs
+
+    @property
+    def nd_elem(self):
+        return self.gather_map.shape[1]

@@ -1,0 +1,121 @@
+"""H(curl)/H(div) lowest-order spaces: constant-field reproduction (exact on
+trilinear maps), de Rham identity curl∘grad = 0, flux exactness, and an
+ex3-style curl-curl solve."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from cardiac_ablation_ecm2_tpu.fem import FESpace
+from cardiac_ablation_ecm2_tpu.fem.fe_vector import NDSpace, RTSpace
+from cardiac_ablation_ecm2_tpu.linalg.solvers import cg
+from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_2d, make_cartesian_3d
+from cardiac_ablation_ecm2_tpu.ops.vecfe import (
+    build_nd_operator,
+    build_rt_operator,
+    discrete_gradient,
+    vecfe_linear_form,
+)
+from test_fespace import permute_vertices, perturb
+
+
+def pmesh3():
+    return perturb(permute_vertices(make_cartesian_3d(3, 3, 3), 2), amount=0.1)
+
+
+def pmesh2():
+    return perturb(permute_vertices(make_cartesian_2d(4, 4), 3), amount=0.1)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_nd_constant_field_reproduction(dim):
+    """Project E = c via the ND0 mass matrix: energy must equal |c|²·|Ω| and
+    curl energy must vanish — exact even on perturbed (trilinear) meshes."""
+    mesh = pmesh3() if dim == 3 else pmesh2()
+    sp = NDSpace(mesh)
+    M = build_nd_operator(sp, mass_coeff=1.0)
+    CC = build_nd_operator(sp, mass_coeff=None, curlcurl_coeff=1.0)
+    c = np.array([1.0, -0.5, 0.25][:dim])
+
+    b = vecfe_linear_form(M, lambda x: np.broadcast_to(c, x.shape))
+    diag = M.diagonal()
+    u, info = cg(M.mult, b, M=lambda r: r / diag, rel_tol=1e-13, max_iter=2000)
+    assert bool(info.converged)
+    energy = float(jnp.vdot(u, M.mult(u)))
+    vol = float(jnp.sum(M.gf.wdet))
+    assert np.isclose(energy, np.dot(c, c) * vol, rtol=1e-9), (
+        energy, np.dot(c, c) * vol
+    )
+    curl_energy = float(jnp.vdot(u, CC.mult(u)))
+    assert abs(curl_energy) < 1e-9, curl_energy
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_de_rham_curl_grad_zero(dim):
+    """curl(grad u) = 0: the curl-curl operator annihilates discrete
+    gradients — exercises every edge sign and orientation."""
+    mesh = pmesh3() if dim == 3 else pmesh2()
+    sp = NDSpace(mesh)
+    h1 = FESpace(mesh, 1)
+    G = discrete_gradient(h1, sp)
+    CC = build_nd_operator(sp, mass_coeff=None, curlcurl_coeff=1.0)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random(h1.ndof_scalar))
+    r = CC.mult(G(u))
+    assert np.abs(np.asarray(r)).max() < 1e-11, np.abs(np.asarray(r)).max()
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_rt_constant_field_and_divfree(dim):
+    # NOTE: RT0 under the Piola map reproduces constants only on affine /
+    # parallelepiped elements (classic result), so this exactness test uses a
+    # vertex-permuted Cartesian mesh — which still stresses every
+    # orientation-sign path — rather than a perturbed one.
+    mesh = (permute_vertices(make_cartesian_3d(3, 3, 3), 2) if dim == 3
+            else permute_vertices(make_cartesian_2d(4, 4), 3))
+    sp = RTSpace(mesh)
+    M = build_rt_operator(sp, mass_coeff=1.0)
+    DD = build_rt_operator(sp, mass_coeff=None, divdiv_coeff=1.0)
+    c = np.array([0.7, 0.2, -0.4][:dim])
+    b = vecfe_linear_form(M, lambda x: np.broadcast_to(c, x.shape))
+    diag = M.diagonal()
+    u, info = cg(M.mult, b, M=lambda r: r / diag, rel_tol=1e-13, max_iter=2000)
+    assert bool(info.converged)
+    energy = float(jnp.vdot(u, M.mult(u)))
+    vol = float(jnp.sum(M.gf.wdet))
+    assert np.isclose(energy, np.dot(c, c) * vol, rtol=1e-9)
+    div_energy = float(jnp.vdot(u, DD.mult(u)))
+    assert abs(div_energy) < 1e-9, div_energy
+
+
+def test_nd_definite_maxwell_solve():
+    """ex3-style: (curl E, curl F) + (E, F) = (f, F) with f = const is solved
+    by the constant field (natural BCs): verify the solver recovers it."""
+    mesh = make_cartesian_3d(3, 3, 3)
+    sp = NDSpace(mesh)
+    A = build_nd_operator(sp, mass_coeff=1.0, curlcurl_coeff=1.0)
+    c = np.array([1.0, 2.0, -1.0])
+    b = vecfe_linear_form(A, lambda x: np.broadcast_to(c, x.shape))
+    diag = A.diagonal()
+    u, info = cg(A.mult, b, M=lambda r: r / diag, rel_tol=1e-13, max_iter=3000)
+    assert bool(info.converged)
+    # solution energy equals |c|^2 vol (E = c solves the PDE with curl E = 0)
+    energy = float(jnp.vdot(u, b))
+    assert np.isclose(energy, np.dot(c, c) * 1.0, rtol=1e-8), energy
+
+
+def test_pa_matches_assembled_vecfe():
+    mesh = pmesh3()
+    for A in (
+        build_nd_operator(NDSpace(mesh), mass_coeff=2.0, curlcurl_coeff=0.5),
+        build_rt_operator(RTSpace(mesh), mass_coeff=1.5, divdiv_coeff=0.7),
+    ):
+        Amat = A.assemble_matrix()
+        rng = np.random.default_rng(5)
+        x = rng.random(A.ndof)
+        assert np.allclose(
+            np.asarray(A.mult(jnp.asarray(x))), Amat @ x, atol=1e-11
+        )
+        assert np.allclose(
+            np.asarray(A.diagonal()), Amat.diagonal(), atol=1e-11
+        )
