@@ -27,6 +27,7 @@ def main():
     order = int(os.environ.get("BENCH_ORDER", "2"))
     steps = int(os.environ.get("BENCH_STEPS", "5"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
+    tol = float(os.environ.get("BENCH_TOL", "1e-5"))
 
     import jax
     import jax.numpy as jnp
@@ -49,7 +50,7 @@ def main():
 
     op = bioheat.BioheatOperator(
         fes=fes, rho_c=3.6e6, k=0.54, w_cb=2e4, T_a=37.0, q_met=src,
-        ess_bdr=[1, 2, 3, 4, 5, 6], rel_tol=1e-8, max_iter=300,
+        ess_bdr=[1, 2, 3, 4, 5, 6], rel_tol=tol, max_iter=300,
         dtype=dtype,
     )
     solver = ode.select("sdirk33")
@@ -95,7 +96,7 @@ def main():
             "order": order,
             "dtype": dtype,
             "device": str(jax.devices()[0]),
-            "solver": "sdirk33+pcg(jacobi)",
+            "solver": "sdirk33+pcg(jacobi)", "rel_tol": tol,
         },
     }))
 
