@@ -59,7 +59,8 @@ def main():
 
             @jax.jit
             def solve(b):
-                return cg(A.mult, b, M=M, rel_tol=0.0, max_iter=iters)
+                return cg(A.mult, b, M=M, rel_tol=0.0, max_iter=iters,
+                          check_convergence=False)
 
             x, info = solve(b)
             jax.block_until_ready(x)

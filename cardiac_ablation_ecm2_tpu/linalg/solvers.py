@@ -57,10 +57,13 @@ def cg(
     abs_tol: float = 0.0,
     max_iter: int = 500,
     dot: Callable = default_dot,
+    check_convergence: bool = True,
 ):
     """Preconditioned conjugate gradients (CGSolver::Mult, solvers.cpp:869).
 
     Returns (x, SolveInfo).  Jit-safe; ``max_iter`` is the trace bound.
+    ``check_convergence=False`` runs exactly ``max_iter`` iterations — the
+    benchmarking mode (fixed-work BP measurements).
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -84,7 +87,7 @@ def cg(
         r = r - alpha * Ad
         z = prec(r)
         betanom = dot(r, z)
-        done = betanom <= target
+        done = (betanom <= target) if check_convergence else jnp.asarray(False)
         beta = betanom / nom
         d = z + beta * d
         return (x, r, d, betanom, k + 1, done)

@@ -6,3 +6,4 @@ from .operators import (
     identity,
 )
 from . import convection, diffusion, elasticity, linearform, mass
+from . import block, dg_advection, vecfe
