@@ -32,7 +32,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from cardiac_ablation_ecm2_tpu.fem import FESpace
+    from cardiac_ablation_ecm2_tpu.fem.cartesian import CartesianFESpace
     from cardiac_ablation_ecm2_tpu.linalg import ode
     from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_3d
     from cardiac_ablation_ecm2_tpu.models import bioheat
@@ -42,7 +42,8 @@ def main():
 
     L = 0.04
     mesh = make_cartesian_3d(n, n, n, L, L, L)
-    fes = FESpace(mesh, order)
+    # structured Cartesian space: gather-free restriction (TPU fast path)
+    fes = CartesianFESpace(mesh, order, (n, n, n), (L, L, L))
 
     def src(x):
         r2 = sum((x[..., i] - L / 2) ** 2 for i in range(3))

@@ -15,7 +15,11 @@ from .restriction import ElementRestriction
 
 
 @functools.lru_cache(maxsize=None)
-def restriction_for(fes) -> ElementRestriction:
+def restriction_for(fes):
+    # Cartesian spaces carry a gather-free structured restriction (TPU fast
+    # path — see fem/cartesian.py); unstructured spaces use gather/segment-sum
+    if hasattr(fes, "restriction"):
+        return fes.restriction
     return ElementRestriction.for_space(fes)
 
 

@@ -1,0 +1,231 @@
+"""Structured (Cartesian) FE space with gather-free restriction.
+
+Motivation: profiling on TPU shows the unstructured L↔E gather/scatter
+dominating the PA apply (~23 ms of which ~1.6 ms is the actual tensor
+contraction at 275k dofs) — TPU hardware has no fast random gather
+(SURVEY.md §7 hard part 2).  For Cartesian hex/quad meshes — the target
+bioheat workload (BASELINE config 5) — the restriction has *structure*:
+with lexicographic dof numbering, the E-vector entry for local lattice
+offset (a,b,c) of element (ex,ey,ez) is the global lattice node
+(p·ex+a, p·ey+b, p·ez+c).  So
+
+* L→E  = (p+1)^dim **strided slices** of the dof lattice,
+* E→L  = (p+1)^dim **strided dense adds** (deterministic, no atomics),
+
+both pure dense/strided ops that XLA executes at copy bandwidth.
+
+``CartesianFESpace`` is duck-type compatible with ``FESpace`` (gather_map,
+bdr maps, dof_coords, essential_dofs, d2q) so every operator/solver layer
+works unchanged; ``restriction_for`` returns the structured restriction for
+it.  Element ordering matches ``make_cartesian_*`` (x fastest).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.mesh import Mesh
+from ..utils.config import index_t
+from .basis import DofToQuad, h1_nodes_1d, lattice_multi_index, make_dof_to_quad
+from .geometry import Geometry
+
+
+@dataclasses.dataclass(eq=False)
+class StructuredRestriction:
+    """Gather-free L↔E restriction on a Cartesian dof lattice."""
+
+    shape_n: Tuple[int, ...]     # elements per axis (nx[, ny[, nz]])
+    order: int
+    ndof: int
+
+    def __post_init__(self):
+        self.dim = len(self.shape_n)
+        p = self.order
+        self.nshape = tuple(p * n + 1 for n in self.shape_n)  # lattice dims
+        self.ne = int(np.prod(self.shape_n))
+        self.nd = (p + 1) ** self.dim
+
+    def mult(self, u: jnp.ndarray) -> jnp.ndarray:
+        """(ndof[, c]) → (ne, nd[, c]) via strided slices."""
+        p = self.dim
+        pr = self.order
+        extra = u.shape[1:]
+        if self.dim == 3:
+            nx, ny, nz = self.shape_n
+            Nx, Ny, Nz = self.nshape
+            u3 = u.reshape(Nz, Ny, Nx, *extra)      # lex: x fastest
+            parts = []
+            for c in range(pr + 1):
+                for b in range(pr + 1):
+                    for a in range(pr + 1):
+                        s = u3[
+                            c : c + pr * nz : pr,
+                            b : b + pr * ny : pr,
+                            a : a + pr * nx : pr,
+                        ]
+                        parts.append(s.reshape(self.ne, *extra))
+            # local dof lex (a fastest) = order of the nested loops reversed:
+            # loops emit (c,b,a) with a fastest ⇒ index = a + (p+1)(b + (p+1)c) ✓
+            return jnp.stack(parts, axis=1)
+        nx, ny = self.shape_n
+        u2 = u.reshape(self.nshape[1], self.nshape[0], *extra)
+        parts = []
+        for b in range(pr + 1):
+            for a in range(pr + 1):
+                s = u2[b : b + pr * ny : pr, a : a + pr * nx : pr]
+                parts.append(s.reshape(self.ne, *extra))
+        return jnp.stack(parts, axis=1)
+
+    def mult_transpose(self, e: jnp.ndarray) -> jnp.ndarray:
+        """(ne, nd[, c]) → (ndof[, c]) via strided adds (deterministic)."""
+        pr = self.order
+        extra = e.shape[2:]
+        if self.dim == 3:
+            nx, ny, nz = self.shape_n
+            u3 = jnp.zeros(
+                (self.nshape[2], self.nshape[1], self.nshape[0], *extra),
+                dtype=e.dtype,
+            )
+            idx = 0
+            for c in range(pr + 1):
+                for b in range(pr + 1):
+                    for a in range(pr + 1):
+                        blk = e[:, idx].reshape(nz, ny, nx, *extra)
+                        u3 = u3.at[
+                            c : c + pr * nz : pr,
+                            b : b + pr * ny : pr,
+                            a : a + pr * nx : pr,
+                        ].add(blk)
+                        idx += 1
+            return u3.reshape(self.ndof, *extra)
+        nx, ny = self.shape_n
+        u2 = jnp.zeros((self.nshape[1], self.nshape[0], *extra), dtype=e.dtype)
+        idx = 0
+        for b in range(pr + 1):
+            for a in range(pr + 1):
+                blk = e[:, idx].reshape(ny, nx, *extra)
+                u2 = u2.at[
+                    b : b + pr * ny : pr, a : a + pr * nx : pr
+                ].add(blk)
+                idx += 1
+        return u2.reshape(self.ndof, *extra)
+
+    def counts(self) -> jnp.ndarray:
+        ones = jnp.ones((self.ne, self.nd))
+        return self.mult_transpose(ones).astype(jnp.int32)
+
+
+@dataclasses.dataclass(eq=False)
+class CartesianFESpace:
+    """H1 space on a Cartesian quad/hex grid with lexicographic dof
+    numbering and structured restriction.  Duck-type compatible with
+    ``FESpace``."""
+
+    mesh: Mesh
+    order: int
+    shape_n: Tuple[int, ...]          # (nx[, ny[, nz]])
+    lengths: Tuple[float, ...] = None
+    vdim: int = 1
+
+    def __post_init__(self):
+        p = self.order
+        self.dim = len(self.shape_n)
+        if self.lengths is None:
+            self.lengths = tuple(
+                float(self.mesh.vertices[:, d].max()) for d in range(self.dim)
+            )
+        self.nshape = tuple(p * n + 1 for n in self.shape_n)
+        self.ndof_scalar = int(np.prod(self.nshape))
+        self.restriction = StructuredRestriction(
+            self.shape_n, p, self.ndof_scalar
+        )
+        # gather_map by formula (for FULL assembly / cross-checks)
+        self.gather_map = self._build_gather().astype(np.int32)
+        self.bdr_gather_map = None   # boundary handled via lattice masks
+
+    # ------------------------------------------------------------------
+    def _build_gather(self) -> np.ndarray:
+        p = self.order
+        if self.dim == 3:
+            nx, ny, nz = self.shape_n
+            Nx, Ny, Nz = self.nshape
+            ex, ey, ez = np.meshgrid(
+                np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+            )
+            ex = ex.ravel(order="F"); ey = ey.ravel(order="F"); ez = ez.ravel(order="F")
+            mi = lattice_multi_index(Geometry.CUBE, p)   # (nd, 3)
+            gx = p * ex[:, None] + mi[None, :, 0]
+            gy = p * ey[:, None] + mi[None, :, 1]
+            gz = p * ez[:, None] + mi[None, :, 2]
+            return gx + Nx * (gy + Ny * gz)
+        nx, ny = self.shape_n
+        Nx, Ny = self.nshape
+        ex, ey = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+        ex = ex.ravel(order="F"); ey = ey.ravel(order="F")
+        mi = lattice_multi_index(Geometry.SQUARE, p)
+        gx = p * ex[:, None] + mi[None, :, 0]
+        gy = p * ey[:, None] + mi[None, :, 1]
+        return gx + Nx * gy
+
+    @property
+    def ndof(self) -> int:
+        return self.ndof_scalar * self.vdim
+
+    @property
+    def nd_elem(self) -> int:
+        return self.gather_map.shape[1]
+
+    @functools.cached_property
+    def d2q(self) -> DofToQuad:
+        from ..utils.config import config
+
+        geom = Geometry.CUBE if self.dim == 3 else Geometry.SQUARE
+        nq1d = self.order + 1 + config.quad_extra
+        return make_dof_to_quad(geom, self.order, nq1d)
+
+    def dof_to_quad(self, nq1d=None) -> DofToQuad:
+        geom = Geometry.CUBE if self.dim == 3 else Geometry.SQUARE
+        if nq1d is None:
+            return self.d2q
+        return make_dof_to_quad(geom, self.order, nq1d)
+
+    @functools.cached_property
+    def dof_coords(self) -> np.ndarray:
+        x1 = [
+            np.concatenate(
+                [
+                    k / self.shape_n[d] * self.lengths[d]
+                    + h1_nodes_1d(self.order)[:-1] / self.shape_n[d]
+                    * self.lengths[d]
+                    for k in range(self.shape_n[d])
+                ]
+                + [[self.lengths[d]]]
+            )
+            for d in range(self.dim)
+        ]
+        grids = np.meshgrid(*x1, indexing="ij")
+        return np.stack([g.ravel(order="F") for g in grids], axis=1)
+
+    # ------------------------------------------------------------------
+    def essential_dofs(self, bdr_marker=None) -> np.ndarray:
+        """Boundary-attribute convention of make_cartesian_2d/3d:
+        2D: 1=y0, 2=x1, 3=y1, 4=x0; 3D: 1=z0, 2=y0, 3=x1, 4=y1, 5=x0, 6=z1."""
+        masks = np.zeros(self.nshape[::-1], dtype=bool)  # (Nz, Ny, Nx) C-order
+        if self.dim == 3:
+            sel = {1: (0, 0), 6: (0, -1), 2: (1, 0), 4: (1, -1),
+                   5: (2, 0), 3: (2, -1)}
+        else:
+            sel = {1: (0, 0), 3: (0, -1), 4: (1, 0), 2: (1, -1)}
+        attrs = (list(bdr_marker) if bdr_marker is not None
+                 else list(sel.keys()))
+        for a in attrs:
+            axis, end = sel[a]      # axis is in C-order: 0=z(slowest)…last=x
+            sl = [slice(None)] * self.dim
+            sl[axis] = end
+            masks[tuple(sl)] = True
+        return np.nonzero(masks.reshape(-1))[0].astype(np.int32)
