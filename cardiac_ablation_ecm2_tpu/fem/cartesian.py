@@ -50,70 +50,77 @@ class StructuredRestriction:
         self.ne = int(np.prod(self.shape_n))
         self.nd = (p + 1) ** self.dim
 
+    # The decomposition is stride-free (TPU lane-dim strides force slow
+    # relayouts): along each axis, the first p of every element's p+1 nodes
+    # tile the lattice contiguously (reshape), and the trailing node is the
+    # next block's first node (shifted slice) or the final lattice point.
+
+    def _expand(self, u, axis, n):
+        """lattice axis of length p·n+1 → (n, p+1) block axes at position
+        ``axis`` (replacing it with two axes)."""
+        p = self.order
+        main = jnp.moveaxis(u, axis, 0)
+        head = main[:-1].reshape(n, p, *main.shape[1:])      # (n, p, ...)
+        tail = jnp.concatenate(
+            [head[1:, :1], main[-1:][None]], axis=0
+        )                                                     # (n, 1, ...)
+        out = jnp.concatenate([head, tail], axis=1)           # (n, p+1, ...)
+        return jnp.moveaxis(out, (0, 1), (axis, axis + 1))
+
+    def _contract(self, e, axis, n):
+        """adjoint of _expand: (n, p+1) axes at ``axis`` → lattice axis."""
+        p = self.order
+        eb = jnp.moveaxis(e, (axis, axis + 1), (0, 1))        # (n, p+1, ...)
+        head = eb[:, :p]                                      # (n, p, ...)
+        tail = eb[:, p]                                       # (n, ...)
+        head = head.at[1:, 0].add(tail[:-1])
+        main = head.reshape(n * p, *eb.shape[2:])
+        out = jnp.concatenate([main, tail[-1:]], axis=0)      # (p·n+1, ...)
+        return jnp.moveaxis(out, 0, axis)
+
     def mult(self, u: jnp.ndarray) -> jnp.ndarray:
-        """(ndof[, c]) → (ne, nd[, c]) via strided slices."""
-        p = self.dim
+        """(ndof[, c]) → (ne, nd[, c]), stride-free."""
         pr = self.order
         extra = u.shape[1:]
         if self.dim == 3:
             nx, ny, nz = self.shape_n
-            Nx, Ny, Nz = self.nshape
-            u3 = u.reshape(Nz, Ny, Nx, *extra)      # lex: x fastest
-            parts = []
-            for c in range(pr + 1):
-                for b in range(pr + 1):
-                    for a in range(pr + 1):
-                        s = u3[
-                            c : c + pr * nz : pr,
-                            b : b + pr * ny : pr,
-                            a : a + pr * nx : pr,
-                        ]
-                        parts.append(s.reshape(self.ne, *extra))
-            # local dof lex (a fastest) = order of the nested loops reversed:
-            # loops emit (c,b,a) with a fastest ⇒ index = a + (p+1)(b + (p+1)c) ✓
-            return jnp.stack(parts, axis=1)
+            v = u.reshape(self.nshape[2], self.nshape[1], self.nshape[0],
+                          *extra)
+            v = self._expand(v, 0, nz)        # (nz, cz, Ny, Nx, ...)
+            v = self._expand(v, 2, ny)        # (nz, cz, ny, cy, Nx, ...)
+            v = self._expand(v, 4, nx)        # (nz, cz, ny, cy, nx, cx, ...)
+            v = jnp.moveaxis(v, (0, 2, 4, 1, 3, 5), (0, 1, 2, 3, 4, 5))
+            # (nz, ny, nx, cz, cy, cx, ...) → (ne, nd) with e x-fastest and
+            # local dof cx-fastest (lex)
+            return v.reshape(self.ne, self.nd, *extra)
         nx, ny = self.shape_n
-        u2 = u.reshape(self.nshape[1], self.nshape[0], *extra)
-        parts = []
-        for b in range(pr + 1):
-            for a in range(pr + 1):
-                s = u2[b : b + pr * ny : pr, a : a + pr * nx : pr]
-                parts.append(s.reshape(self.ne, *extra))
-        return jnp.stack(parts, axis=1)
+        v = u.reshape(self.nshape[1], self.nshape[0], *extra)
+        v = self._expand(v, 0, ny)            # (ny, cy, Nx, ...)
+        v = self._expand(v, 2, nx)            # (ny, cy, nx, cx, ...)
+        v = jnp.moveaxis(v, (0, 2, 1, 3), (0, 1, 2, 3))
+        return v.reshape(self.ne, self.nd, *extra)
 
     def mult_transpose(self, e: jnp.ndarray) -> jnp.ndarray:
-        """(ne, nd[, c]) → (ndof[, c]) via strided adds (deterministic)."""
+        """(ne, nd[, c]) → (ndof[, c]), deterministic stride-free adds."""
         pr = self.order
         extra = e.shape[2:]
         if self.dim == 3:
             nx, ny, nz = self.shape_n
-            u3 = jnp.zeros(
-                (self.nshape[2], self.nshape[1], self.nshape[0], *extra),
-                dtype=e.dtype,
-            )
-            idx = 0
-            for c in range(pr + 1):
-                for b in range(pr + 1):
-                    for a in range(pr + 1):
-                        blk = e[:, idx].reshape(nz, ny, nx, *extra)
-                        u3 = u3.at[
-                            c : c + pr * nz : pr,
-                            b : b + pr * ny : pr,
-                            a : a + pr * nx : pr,
-                        ].add(blk)
-                        idx += 1
-            return u3.reshape(self.ndof, *extra)
+            c1 = pr + 1
+            v = e.reshape(nz, ny, nx, c1, c1, c1, *extra)
+            v = jnp.moveaxis(v, (0, 1, 2, 3, 4, 5), (0, 2, 4, 1, 3, 5))
+            # (nz, cz, ny, cy, nx, cx, ...)
+            v = self._contract(v, 4, nx)
+            v = self._contract(v, 2, ny)
+            v = self._contract(v, 0, nz)
+            return v.reshape(self.ndof, *extra)
         nx, ny = self.shape_n
-        u2 = jnp.zeros((self.nshape[1], self.nshape[0], *extra), dtype=e.dtype)
-        idx = 0
-        for b in range(pr + 1):
-            for a in range(pr + 1):
-                blk = e[:, idx].reshape(ny, nx, *extra)
-                u2 = u2.at[
-                    b : b + pr * ny : pr, a : a + pr * nx : pr
-                ].add(blk)
-                idx += 1
-        return u2.reshape(self.ndof, *extra)
+        c1 = pr + 1
+        v = e.reshape(ny, nx, c1, c1, *extra)
+        v = jnp.moveaxis(v, (0, 1, 2, 3), (0, 2, 1, 3))
+        v = self._contract(v, 2, nx)
+        v = self._contract(v, 0, ny)
+        return v.reshape(self.ndof, *extra)
 
     def counts(self) -> jnp.ndarray:
         ones = jnp.ones((self.ne, self.nd))

@@ -5,3 +5,4 @@ from .newton import newton, NewtonInfo
 from .multigrid import Multigrid, MGLevel, make_p_multigrid, make_h_multigrid
 from .krylov_extra import minres, bicgstab
 from .lobpcg import lobpcg, EigResult
+from . import ode2

@@ -1,1 +1,1 @@
-from . import ablation, bioheat, darcy, elasticity, heat, poisson, rf_laplace
+from . import ablation, bioheat, darcy, elasticity, heat, poisson, rf_laplace, wave
