@@ -195,6 +195,76 @@ class IMEXRK2:
         return u + 0.5 * dt * (e1 + e2 + k1 + k2), t + dt
 
 
+@dataclasses.dataclass(eq=False)
+class AdamsBashforthSolver:
+    """Explicit linear multistep AB1-AB5 (linalg/ode.cpp AB solvers).
+
+    Carries its own history; bootstrap steps use RK4.  State is (u, t) like
+    the RK drivers — history lives on the solver instance, so one instance
+    per trajectory.
+    """
+
+    order: int = 4
+
+    _COEFS = {
+        1: [1.0],
+        2: [1.5, -0.5],
+        3: [23 / 12, -16 / 12, 5 / 12],
+        4: [55 / 24, -59 / 24, 37 / 24, -9 / 24],
+        5: [1901 / 720, -2774 / 720, 2616 / 720, -1274 / 720, 251 / 720],
+    }
+
+    def __post_init__(self):
+        self._hist = []
+
+    def step(self, f, u, t, dt):
+        k = f.mult(t, u)
+        self._hist.insert(0, k)
+        if len(self._hist) < self.order:
+            return RKSolver(RK4).step(f, u, t, dt)    # bootstrap
+        self._hist = self._hist[: self.order]
+        c = self._COEFS[self.order]
+        for i, ci in enumerate(c):
+            u = u + dt * ci * self._hist[i]
+        return u, t + dt
+
+
+@dataclasses.dataclass(eq=False)
+class AdamsMoultonSolver:
+    """Implicit Adams-Moulton AM1-AM4 in predictor-corrector (PECE) form
+    with an AB predictor (linalg/ode.cpp AM solvers' role)."""
+
+    order: int = 3
+
+    _COEFS = {
+        1: [0.5, 0.5],                                   # trapezoid
+        2: [5 / 12, 8 / 12, -1 / 12],
+        3: [9 / 24, 19 / 24, -5 / 24, 1 / 24],
+        4: [251 / 720, 646 / 720, -264 / 720, 106 / 720, -19 / 720],
+    }
+
+    def __post_init__(self):
+        self._hist = []
+
+    def step(self, f, u, t, dt):
+        k = f.mult(t, u)
+        self._hist.insert(0, k)
+        if len(self._hist) < self.order + 1:
+            return RKSolver(RK4).step(f, u, t, dt)
+        self._hist = self._hist[: self.order + 1]
+        # predict with AB of same history, evaluate, correct
+        ab = AdamsBashforthSolver._COEFS[min(self.order + 1, 5)]
+        up = u
+        for i, ci in enumerate(ab[: len(self._hist)]):
+            up = up + dt * ci * self._hist[i]
+        kp = f.mult(t + dt, up)
+        c = self._COEFS[self.order]
+        un = u + dt * c[0] * kp
+        for i, ci in enumerate(c[1:]):
+            un = un + dt * ci * self._hist[i]
+        return un, t + dt
+
+
 _REGISTRY = {
     "forward_euler": FORWARD_EULER,
     "rk2": RK2,
@@ -236,6 +306,10 @@ def select(which) -> RKSolver:
         return IMEXEuler()
     if which == "imex_rk2":
         return IMEXRK2()
+    if which.startswith("ab"):
+        return AdamsBashforthSolver(order=int(which[2:]))
+    if which.startswith("am"):
+        return AdamsMoultonSolver(order=int(which[2:]))
     return RKSolver(_REGISTRY[which])
 
 

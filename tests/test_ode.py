@@ -111,3 +111,26 @@ def test_imex_euler_matches_split():
         if ref is None:
             ref = REF["ref"] = reference_solution(T)
         assert np.linalg.norm(np.asarray(u) - ref) < tol, name
+
+
+@pytest.mark.parametrize("name,order", [("ab2", 2), ("ab4", 4), ("am2", 3), ("am3", 4)])
+def test_multistep_convergence(name, order):
+    """Adams-Bashforth / Adams-Moulton (PECE) orders (AB_k: k, AM_k PECE:
+    k+1)."""
+    T = 1.0
+    if "ref" not in REF:
+        REF["ref"] = reference_solution(T)
+    ref = REF["ref"]
+
+    def run_ms(n):
+        f = LinearOp()
+        solver = ode.select(name)      # fresh instance (history state)
+        u, t = jnp.asarray(U0), 0.0
+        for _ in range(n):
+            u, t = solver.step(f, u, t, T / n)
+        return np.asarray(u)
+
+    e1 = np.linalg.norm(run_ms(64) - ref)
+    e2 = np.linalg.norm(run_ms(128) - ref)
+    est = np.log2(e1 / e2)
+    assert est > order - 0.4, (name, e1, e2, est)
