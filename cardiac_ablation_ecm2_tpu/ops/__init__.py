@@ -7,3 +7,4 @@ from .operators import (
 )
 from . import convection, diffusion, elasticity, linearform, mass
 from . import block, dg_advection, vecfe
+from . import hyperbolic

@@ -5,7 +5,7 @@
 
 import numpy as np
 
-from common import load_mesh, setup_jax, standard_parser
+from common import load_mesh, maybe_vtu, setup_jax, standard_parser
 
 
 def main():
@@ -41,8 +41,7 @@ def main():
         u, t = step(u, t, args.dt)
         if (k + 1) % max(n // 10, 1) == 0:
             print(f"t={float(t):.4f}  |u|_L2={float(l2_norm(fes, u)):.6f}")
-    maybe = getattr(__import__("common"), "maybe_vtu")
-    maybe(args, mesh, fes, u)
+    maybe_vtu(args, mesh, fes, u)
 
 
 if __name__ == "__main__":
