@@ -69,7 +69,8 @@ class BioheatOperator:
         w_q = eval_coeff(self.w_cb, self.gf, self.dtype)
 
         self.Mrc_qd = mass.setup(self.gf, rho_c_q)          # ρc mass
-        self.K_qd = diffusion.setup(self.gf, k_q)           # conductivity
+        # packed symmetric qdata: 2/3 the HBM traffic in the CG hot loop
+        self.K_qd = diffusion.pack_sym(diffusion.setup(self.gf, k_q))
         self.Mw_qd = mass.setup(self.gf, w_q)               # perfusion mass
 
         # constant RHS: M_ω T_a 1 + (Q_met + Q_rf, v)

@@ -32,6 +32,10 @@ def setup(gf: GeometricFactors, coeff_q=None) -> jnp.ndarray:
     """
     A = adjugate(gf.jac)                               # (ne, nq, dim, dim)
     w_over_det = gf.w[None, :] / gf.det
+    if coeff_q is not None and not hasattr(coeff_q, "ndim"):
+        coeff_q = jnp.broadcast_to(
+            jnp.asarray(coeff_q, A.dtype), gf.det.shape
+        )
     if coeff_q is None:
         D = jnp.einsum("eqab,eqcb->eqac", A, A)
     elif coeff_q.ndim == 2:
@@ -42,10 +46,59 @@ def setup(gf: GeometricFactors, coeff_q=None) -> jnp.ndarray:
     return D * w_over_det[..., None, None]
 
 
+def pack_sym(D: jnp.ndarray) -> jnp.ndarray:
+    """(ne, nq, dim, dim) symmetric → packed (ne, nq, 3|6):
+    2D [D00, D11, D01]; 3D [D00, D11, D22, D01, D02, D12].
+    (The reference's 6-entry symmetric qdata storage,
+    bilininteg_diffusion_kernels.cpp:243 — halves/two-thirds the HBM traffic
+    of the dominant CG-iteration data stream.)"""
+    d = D.shape[-1]
+    if d == 2:
+        return jnp.stack([D[..., 0, 0], D[..., 1, 1], D[..., 0, 1]], axis=-1)
+    return jnp.stack(
+        [D[..., 0, 0], D[..., 1, 1], D[..., 2, 2],
+         D[..., 0, 1], D[..., 0, 2], D[..., 1, 2]], axis=-1
+    )
+
+
+def _apply_packed(qd, g):
+    """Packed symmetric D·g (elementwise VPU ops; g (ne, nq, dim[, c]))."""
+    if qd.shape[-1] == 3:      # 2D
+        if g.ndim > 3:
+            gx, gy = g[..., 0, :], g[..., 1, :]
+            q = qd[..., None]
+            Dx = q[..., 0, :] * gx + q[..., 2, :] * gy
+            Dy = q[..., 2, :] * gx + q[..., 1, :] * gy
+            return jnp.stack([Dx, Dy], axis=2)
+        gx, gy = g[..., 0], g[..., 1]
+        Dx = qd[..., 0] * gx + qd[..., 2] * gy
+        Dy = qd[..., 2] * gx + qd[..., 1] * gy
+        return jnp.stack([Dx, Dy], axis=-1)
+    if g.ndim > 3:
+        q = qd[..., None]
+        gx, gy, gz = g[..., 0, :], g[..., 1, :], g[..., 2, :]
+        Dx = q[..., 0, :] * gx + q[..., 3, :] * gy + q[..., 4, :] * gz
+        Dy = q[..., 3, :] * gx + q[..., 1, :] * gy + q[..., 5, :] * gz
+        Dz = q[..., 4, :] * gx + q[..., 5, :] * gy + q[..., 2, :] * gz
+        return jnp.stack([Dx, Dy, Dz], axis=2)
+    gx, gy, gz = g[..., 0], g[..., 1], g[..., 2]
+    Dx = qd[..., 0] * gx + qd[..., 3] * gy + qd[..., 4] * gz
+    Dy = qd[..., 3] * gx + qd[..., 1] * gy + qd[..., 5] * gz
+    Dz = qd[..., 4] * gx + qd[..., 5] * gy + qd[..., 2] * gz
+    return jnp.stack([Dx, Dy, Dz], axis=-1)
+
+
+def _is_packed(qdata, dim):
+    return qdata.ndim == 3
+
+
 def apply(db: DeviceBasis, qdata: jnp.ndarray, u_e: jnp.ndarray) -> jnp.ndarray:
-    """(ne, nd[, c]) → (ne, nd[, c]): Gᵀ (D · (G u))."""
+    """(ne, nd[, c]) → (ne, nd[, c]): Gᵀ (D · (G u)); accepts full (…,d,d)
+    or packed symmetric qdata (see pack_sym)."""
     g = eval_grad(db, u_e)                             # (ne, nq, dim[, c])
-    if u_e.ndim > 2:
+    if _is_packed(qdata, db.dim):
+        Dg = _apply_packed(qdata, g)
+    elif u_e.ndim > 2:
         Dg = jnp.einsum("eqab,eqb...->eqa...", qdata, g)
     else:
         Dg = jnp.einsum("eqab,eqb->eqa", qdata, g)
@@ -60,7 +113,32 @@ def diagonal(db: DeviceBasis, qdata: jnp.ndarray) -> jnp.ndarray:
     terms, (B∘B) otherwise (reference: AssembleDiagonalPA kernels in
     fem/integ/bilininteg_diffusion_kernels.hpp).
     """
+    packed = _is_packed(qdata, db.dim)
+    if packed:
+        if qdata.shape[-1] == 3:
+            pidx = {(0, 0): 0, (1, 1): 1, (0, 1): 2, (1, 0): 2}
+        else:
+            pidx = {(0, 0): 0, (1, 1): 1, (2, 2): 2, (0, 1): 3, (1, 0): 3,
+                    (0, 2): 4, (2, 0): 4, (1, 2): 5, (2, 1): 5}
+
+        def comp(a, b):
+            return qdata[:, :, pidx[(a, b)]]
+    else:
+        def comp(a, b):
+            return qdata[:, :, a, b]
+
     if not db.tensor:
+        if packed:
+            out = None
+            dim = db.dim
+            for a in range(dim):
+                for b in range(dim):
+                    t = jnp.einsum(
+                        "qn,eq,qn->en",
+                        db.G[:, :, a], comp(a, b), db.G[:, :, b],
+                    )
+                    out = t if out is None else out + t
+            return out
         return jnp.einsum("qna,eqab,qnb->en", db.G, qdata, db.G)
     B, G = db.B1, db.G1
     BB, BG, GG = B * B, B * G, G * G   # elementwise; B∘G == G∘B
@@ -76,6 +154,6 @@ def diagonal(db: DeviceBasis, qdata: jnp.ndarray) -> jnp.ndarray:
                     facs.append(BG)
                 else:
                     facs.append(BB)
-            term = contract_q_to_e(tuple(facs), qdata[:, :, a, b])
+            term = contract_q_to_e(tuple(facs), comp(a, b))
             out = term if out is None else out + term
     return out

@@ -107,3 +107,26 @@ def test_mass_matrix_total():
     M = BilinearForm(fes).add_domain_integrator("mass").assemble_matrix()
     # |Ω| of the perturbed unit cube is still 1 (interior-only perturbation)
     assert np.isclose(M.sum(), 1.0, atol=1e-10)
+
+
+def test_packed_diffusion_matches_full():
+    """Packed symmetric qdata path == full-matrix qdata path."""
+    from cardiac_ablation_ecm2_tpu.ops import diffusion as dmod
+    from cardiac_ablation_ecm2_tpu.fem.build import basis_for, geom_factors_for, restriction_for
+
+    for name in ("quad", "hex"):
+        mesh = make_mesh(name)
+        fes = FESpace(mesh, 2)
+        db = basis_for(fes)
+        gf = geom_factors_for(fes)
+        R = restriction_for(fes)
+        qd = dmod.setup(gf, 1.7)
+        qp = dmod.pack_sym(qd)
+        rng = np.random.default_rng(0)
+        e = jnp.asarray(rng.random((mesh.ne, fes.nd_elem)))
+        y1 = np.asarray(dmod.apply(db, qd, e))
+        y2 = np.asarray(dmod.apply(db, qp, e))
+        assert np.allclose(y1, y2, atol=1e-12)
+        d1 = np.asarray(dmod.diagonal(db, qd))
+        d2 = np.asarray(dmod.diagonal(db, qp))
+        assert np.allclose(d1, d2, atol=1e-12)
