@@ -1,5 +1,6 @@
 from .mesh import (
     Mesh,
+    curve_mesh,
     make_cartesian_2d,
     make_cartesian_2d_tri,
     make_cartesian_3d,

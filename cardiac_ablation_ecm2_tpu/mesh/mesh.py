@@ -258,6 +258,26 @@ def make_cartesian_3d_tet(
     )
 
 
+def curve_mesh(mesh: Mesh, mapping, order: int) -> Mesh:
+    """Isoparametric curved mesh: apply an analytic map to the order-p
+    geometry lattice (the reference's SetCurvature + Transform pattern,
+    mesh/mesh.hpp:2399).  ``mapping(x) -> x'`` acts on (..., sdim) arrays."""
+    from ..fem.fespace import element_node_coords
+
+    X = element_node_coords(mesh, order)            # (ne, nd, sdim) straight
+    Xc = np.asarray(mapping(X))
+    return Mesh(
+        geom=mesh.geom,
+        vertices=np.asarray(mapping(mesh.vertices)),
+        elements=mesh.elements,
+        attributes=mesh.attributes,
+        boundary=mesh.boundary,
+        bdr_attributes=mesh.bdr_attributes,
+        nodes=Xc,
+        nodes_order=order,
+    )
+
+
 # ----------------------------------------------------------------------------
 # Entity tables
 # ----------------------------------------------------------------------------

@@ -119,3 +119,35 @@ def test_variable_coefficient_and_chebyshev():
     err = float(l2_error(res_j.fes, res_j.u, lambda x: 0 * np.asarray(x)[..., 0]))
     diff = np.abs(np.asarray(res_j.u) - np.asarray(res_c.u)).max()
     assert diff < 1e-7
+
+
+def test_curved_annulus_high_order():
+    """Curved (isoparametric) geometry: Poisson on a quarter annulus mapped
+    from a rectangle; order-3 elements with order-3 geometry must converge at
+    ~4th order in L2 (straight Q1 geometry would stall at 2nd order)."""
+    from cardiac_ablation_ecm2_tpu.mesh.mesh import curve_mesh
+    from cardiac_ablation_ecm2_tpu.fem.convergence import ConvergenceStudy
+
+    def annulus(x):
+        x = np.asarray(x)
+        r = 1.0 + x[..., 0]
+        th = 0.5 * np.pi * x[..., 1]
+        return np.stack([r * np.cos(th), r * np.sin(th)], axis=-1)
+
+    def u_exact(x):
+        x = np.asarray(x)
+        r2 = x[..., 0] ** 2 + x[..., 1] ** 2
+        return np.log(r2) / np.log(4.0)     # harmonic; u=0 at r=1, 1 at r=2
+
+    study = ConvergenceStudy()
+    for n in (2, 4, 8):
+        base = make_cartesian_2d(n, n)
+        mesh = curve_mesh(base, annulus, order=3)
+        res = poisson.solve(
+            mesh, order=3, rhs=lambda x: 0 * np.asarray(x)[..., 0],
+            bc=u_exact, rel_tol=1e-13,
+        )
+        assert res.converged
+        err = float(l2_error(res.fes, res.u, u_exact))
+        study.add(1.0 / n, res.fes.ndof_scalar, err)
+    assert study.asymptotic_rate() > 3.5, study.report()
