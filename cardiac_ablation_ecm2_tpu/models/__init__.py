@@ -1,1 +1,2 @@
-from . import ablation, bioheat, darcy, elasticity, heat, poisson, rf_laplace, wave
+from . import (ablation, bioheat, darcy, elasticity, heat, hyperelastic,
+               poisson, rf_laplace, wave)
