@@ -209,6 +209,57 @@ def discrete_gradient(h1_fes, nd_space: NDSpace):
     return G
 
 
+def discrete_curl(nd_space: NDSpace, rt_space: RTSpace):
+    """C: ND0 → RT0 (3D), (CE)_face = ∫_f curl E·n = ∮_∂f E·t — the signed
+    sum of the face's boundary edge dofs in the face's canonical cycle
+    (DiscreteLinearOperator curl, ex24 analog).  With discrete_gradient this
+    completes the de Rham sequence: div∘curl = 0, curl∘grad = 0."""
+    from ..mesh.mesh import unique_edges, unique_faces
+    from ..fem.geometry import FACES
+
+    mesh = nd_space.mesh
+    assert mesh.dim == 3
+    edges, _ = unique_edges(mesh)
+    edge_id = {tuple(e): i for i, e in enumerate(map(tuple, edges))}
+    faces, elem_face = unique_faces(mesh)
+    nfaces = len(faces)
+
+    # canonical cycle per unique face from its first incident element (the
+    # canonical frame is element-independent)
+    cyc = np.zeros((nfaces, 4), dtype=np.int64)
+    seen = np.zeros(nfaces, dtype=bool)
+    loc_faces = FACES[mesh.geom]
+    for e in range(mesh.ne):
+        for lf, fverts in enumerate(loc_faces):
+            fid = elem_face[e, lf]
+            if seen[fid]:
+                continue
+            gids = mesh.elements[e, list(fverts)]
+            k = len(gids)
+            r = int(np.argmin(gids))
+            d = 1 if gids[(r + 1) % k] < gids[(r - 1) % k] else -1
+            cyc[fid] = [gids[(r + d * i) % k] for i in range(k)]
+            seen[fid] = True
+
+    edge_ids = np.zeros((nfaces, 4), dtype=np.int64)
+    signs = np.zeros((nfaces, 4))
+    for i in range(nfaces):
+        for j in range(4):
+            a, b = int(cyc[i, j]), int(cyc[i, (j + 1) % 4])
+            edge_ids[i, j] = edge_id[(a, b) if a < b else (b, a)]
+            signs[i, j] = 1.0 if a < b else -1.0
+
+    import jax.numpy as jnp
+
+    eid = jnp.asarray(edge_ids, index_t())
+    sg = jnp.asarray(signs)
+
+    def C(E):
+        return jnp.sum(E[eid] * sg, axis=1)
+
+    return C
+
+
 def _vertex_dof_map(h1_fes) -> np.ndarray:
     """vertex id → H1 order-1 scalar dof id."""
     mesh = h1_fes.mesh

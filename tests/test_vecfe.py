@@ -119,3 +119,30 @@ def test_pa_matches_assembled_vecfe():
         assert np.allclose(
             np.asarray(A.diagonal()), Amat.diagonal(), atol=1e-11
         )
+
+
+def test_de_rham_div_curl_zero():
+    """div(curl E) = 0: the RT0 incidence divergence annihilates discrete
+    curls of arbitrary ND0 fields (full de Rham chain with grad)."""
+    from cardiac_ablation_ecm2_tpu.ops.vecfe import discrete_curl
+
+    mesh = pmesh3()
+    nd = NDSpace(mesh)
+    rt = RTSpace(mesh)
+    C = discrete_curl(nd, rt)
+    rng = np.random.default_rng(7)
+    E = jnp.asarray(rng.random(nd.ndof))
+    u = C(E)
+    # incidence divergence: per element, signed sum of face dofs
+    div = np.einsum(
+        "ef,ef->e", np.asarray(u)[rt.gather_map], rt.signs
+    )
+    assert np.abs(div).max() < 1e-11, np.abs(div).max()
+    # and the chain: curl(grad φ) = 0 ⇒ C(G φ) = 0
+    h1 = FESpace(mesh, 1)
+    from cardiac_ablation_ecm2_tpu.ops.vecfe import discrete_gradient
+
+    G = discrete_gradient(h1, nd)
+    phi = jnp.asarray(rng.random(h1.ndof_scalar))
+    cg_ = np.asarray(C(G(phi)))
+    assert np.abs(cg_).max() < 1e-11
