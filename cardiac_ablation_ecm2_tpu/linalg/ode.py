@@ -152,16 +152,16 @@ class RKSolver:
             y = u
             for j in range(i):
                 if tab.a[i, j] != 0.0:
-                    y = y + (dt * tab.a[i, j]) * ks[j]
-            ti = t + tab.c[i] * dt
+                    y = y + (dt * float(tab.a[i, j])) * ks[j]
+            ti = t + float(tab.c[i]) * dt
             if tab.a[i, i] != 0.0:
-                k = f.implicit_solve(tab.a[i, i] * dt, ti, y)
+                k = f.implicit_solve(float(tab.a[i, i]) * dt, ti, y)
             else:
                 k = f.mult(ti, y)
             ks.append(k)
         for i in range(s):
             if tab.b[i] != 0.0:
-                u = u + (dt * tab.b[i]) * ks[i]
+                u = u + (dt * float(tab.b[i])) * ks[i]
         return u, t + dt
 
 

@@ -225,11 +225,11 @@ def setup(
             y = T
             for j in range(i):
                 if tab.a[i, j] != 0.0:
-                    y = y + (dt * tab.a[i, j]) * ks[j]
-            ks.append(implicit_solve(tab.a[i, i] * dt, y))
+                    y = y + (dt * float(tab.a[i, j])) * ks[j]
+            ks.append(implicit_solve(float(tab.a[i, i]) * dt, y))
         for i in range(tab.stages):
             if tab.b[i] != 0.0:
-                T = T + (dt * tab.b[i]) * ks[i]
+                T = T + (dt * float(tab.b[i])) * ks[i]
         return T[None], t + dt
 
     jit_step = jax.jit(step_fn)
