@@ -54,6 +54,8 @@ def read_mfem_mesh(path_or_text) -> Mesh:
     dim = None
     elements = attributes = boundary = bdr_attributes = None
     vertices = None
+    nodes_evec = None
+    nodes_order = 1
     geom: Optional[Geometry] = None
     bgeom: Optional[Geometry] = None
 
@@ -95,16 +97,21 @@ def read_mfem_mesh(path_or_text) -> Mesh:
             nv = int(next_tok())
             peek = next_tok()
             if peek == "nodes":
-                raise NotImplementedError(
-                    "curved meshes (nodes section) not yet supported"
+                # curved mesh: coordinates live in the nodes GridFunction
+                vertices, nodes_evec, nodes_order = _read_nodes_section(
+                    toks, nv, geom, elements, attributes
                 )
+                continue
             vdim = int(peek)
             vals = np.array(
                 [float(next_tok()) for _ in range(nv * vdim)]
             ).reshape(nv, vdim)
             vertices = vals
         elif section == "nodes":
-            raise NotImplementedError("curved meshes (nodes section) not yet supported")
+            vertices, nodes_evec, nodes_order = _read_nodes_section(
+                toks, len(vertices) if vertices is not None else 0,
+                geom, elements, attributes,
+            )
         else:
             raise ValueError(f"unknown section {section!r}")
 
@@ -119,7 +126,129 @@ def read_mfem_mesh(path_or_text) -> Mesh:
         bdr_attributes=(
             bdr_attributes if bdr_attributes is not None else np.zeros(0, np.int64)
         ),
+        nodes=nodes_evec,
+        nodes_order=nodes_order if nodes_evec is not None else 1,
     )
+
+
+#: MFEM local edge tables (mesh/{triangle,quadrilateral,tetrahedron,
+#: hexahedron}.cpp) — needed to reproduce the reference's edge enumeration
+#: when loading curved-mesh nodes GridFunctions.  NOTE the tet table differs
+#: from this library's own (fem/geometry.py) table.
+_MFEM_EDGES = {
+    Geometry.TRIANGLE: [(0, 1), (1, 2), (2, 0)],
+    Geometry.SQUARE: [(0, 1), (1, 2), (2, 3), (3, 0)],
+    Geometry.TETRAHEDRON: [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)],
+    Geometry.CUBE: [
+        (0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
+        (0, 4), (1, 5), (2, 6), (3, 7),
+    ],
+}
+
+_MFEM_FACES = {
+    Geometry.CUBE: [
+        (3, 2, 1, 0), (0, 1, 5, 4), (1, 2, 6, 5),
+        (2, 3, 7, 6), (3, 0, 4, 7), (4, 5, 6, 7),
+    ],
+}
+
+
+def _read_nodes_section(toks, nv, geom, elements, attributes):
+    """Parse a curved-mesh ``nodes`` GridFunction (order-2 H1 only) and
+    return (vertices, nodes E-vector in our lex local ordering, order).
+
+    Order 2 keeps every edge/face/interior entity to a single dof, so the
+    reference's DofTransformation orientation machinery is not needed — only
+    its first-seen entity enumeration, reproduced here.
+    """
+    from ..fem.basis import lattice_multi_index
+    from ..fem.geometry import DIMENSION, NUM_VERTS, REF_VERTS
+
+    def next_tok():
+        return next(toks)
+
+    assert next_tok() == "FiniteElementSpace"
+    line = next_tok()
+    assert line == "FiniteElementCollection:"
+    fec = next_tok()
+    assert next_tok() == "VDim:"
+    vdim = int(next_tok())
+    assert next_tok() == "Ordering:"
+    ordering = int(next_tok())
+
+    if not (fec.endswith("P2") or fec == "Quadratic"):
+        raise NotImplementedError(
+            f"curved meshes: only order-2 nodes supported, got {fec!r}"
+        )
+    p = 2
+    dim = DIMENSION[geom]
+
+    # first-seen entity enumeration with MFEM local tables
+    edge_ids = {}
+    elem_edges = []
+    for conn in elements:
+        row = []
+        for (a, b) in _MFEM_EDGES[geom]:
+            key = tuple(sorted((int(conn[a]), int(conn[b]))))
+            row.append(edge_ids.setdefault(key, len(edge_ids)))
+        elem_edges.append(row)
+    nedge = len(edge_ids)
+
+    face_ids = {}
+    elem_faces = []
+    if geom == Geometry.CUBE:
+        for conn in elements:
+            row = []
+            for f in _MFEM_FACES[geom]:
+                key = tuple(sorted(int(conn[v]) for v in f))
+                row.append(face_ids.setdefault(key, len(face_ids)))
+            elem_faces.append(row)
+    nface = len(face_ids)
+
+    ne = len(elements)
+    if geom in (Geometry.TETRAHEDRON, Geometry.TRIANGLE):
+        ndof = nv + nedge               # P2 simplices: no interior dofs
+    elif geom == Geometry.SQUARE:
+        ndof = nv + nedge + ne
+    elif geom == Geometry.CUBE:
+        ndof = nv + nedge + nface + ne
+    else:
+        raise NotImplementedError(geom)
+
+    vals = np.array([float(next_tok()) for _ in range(ndof * vdim)])
+    if ordering == 0:   # byNODES: all component-0 dofs first
+        X = vals.reshape(vdim, ndof).T
+    else:               # byVDIM: interleaved
+        X = vals.reshape(ndof, vdim)
+
+    vertices = X[:nv].copy()
+
+    # assemble our lex-ordered E-vector of geometry nodes
+    mi = lattice_multi_index(geom, p)               # (nd, dim), coords in {0,1,2}
+    latt_v = np.rint(REF_VERTS[geom] * p).astype(np.int64)
+    corner_of = {tuple(latt_v[v]): v for v in range(NUM_VERTS[geom])}
+    edge_mid = {}
+    for le, (a, b) in enumerate(_MFEM_EDGES[geom]):
+        edge_mid[tuple(((latt_v[a] + latt_v[b]) // 2).tolist())] = le
+    face_mid = {}
+    if geom == Geometry.CUBE:
+        for lf, f in enumerate(_MFEM_FACES[geom]):
+            c = sum(latt_v[v] for v in f) // 4
+            face_mid[tuple(c.tolist())] = lf
+
+    nodes = np.zeros((ne, len(mi), vdim))
+    for e, conn in enumerate(elements):
+        for n, latt in enumerate(map(tuple, mi)):
+            if latt in corner_of:
+                gid = int(conn[corner_of[latt]])
+            elif latt in edge_mid:
+                gid = nv + elem_edges[e][edge_mid[latt]]
+            elif latt in face_mid:
+                gid = nv + nedge + elem_faces[e][face_mid[latt]]
+            else:
+                gid = nv + nedge + nface + e
+            nodes[e, n] = X[gid]
+    return vertices, nodes, p
 
 
 def _read_inline(body: str) -> Mesh:

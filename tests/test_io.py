@@ -66,3 +66,21 @@ def test_ex1_star_config(tmp_path):
         point_data={"u": vertex_values(res.fes, res.u)},
     )
     assert (tmp_path / "star.vtu").exists()
+
+
+@pytest.mark.parametrize(
+    "name,ne,vol",
+    [
+        # golden volumes from MFEM itself ((1,1) with an order-6 rule)
+        ("escher-p2.mesh", 42, 6.386857624392391),
+        ("square-disc-p2.mesh", 154, 0.8757701226560003),
+    ],
+)
+def test_curved_mesh_volume_parity(name, ne, vol):
+    """Order-2 curved meshes (nodes GridFunction) load with exact geometry:
+    volumes match MFEM to 1e-13 relative."""
+    m = read_mfem_mesh(f"{DATA}/{name}")
+    assert m.ne == ne and m.nodes is not None and m.nodes_order == 2
+    fes = FESpace(m, 2)
+    v = float(np.sum(np.asarray(geom_factors_for(fes).wdet)))
+    assert np.isclose(v, vol, rtol=1e-13), (v, vol)
