@@ -56,33 +56,83 @@ class BioheatOperator:
     rel_tol: float = 1e-10
     max_iter: int = 1000
     dtype: object = None
+    #: run setup under one jit from node coords — required at large scale:
+    #: eagerly materialized (ne, nq, 3, 3) Jacobian/qdata arrays tile-pad
+    #: ~57x on TPU (OOM at 1M dofs).  Needs jnp-traceable coefficients.
+    fused_setup: bool = False
 
     def __post_init__(self):
         fes = self.fes
         self.restr = restriction_for(fes)
         self.db = basis_for(fes, dtype=self.dtype)
-        self.gf = geom_factors_for(fes, dtype=self.dtype)
         dt_ = real_t(self.dtype)
 
-        rho_c_q = eval_coeff(self.rho_c, self.gf, self.dtype)
-        k_q = eval_coeff(self.k, self.gf, self.dtype)
-        w_q = eval_coeff(self.w_cb, self.gf, self.dtype)
+        if self.fused_setup:
+            self._fused_assemble()
+        else:
+            self.gf = geom_factors_for(fes, dtype=self.dtype)
 
-        self.Mrc_qd = mass.setup(self.gf, rho_c_q)          # ρc mass
-        # packed symmetric qdata: 2/3 the HBM traffic in the CG hot loop
-        self.K_qd = diffusion.pack_sym(diffusion.setup(self.gf, k_q))
-        self.Mw_qd = mass.setup(self.gf, w_q)               # perfusion mass
+            rho_c_q = eval_coeff(self.rho_c, self.gf, self.dtype)
+            k_q = eval_coeff(self.k, self.gf, self.dtype)
+            w_q = eval_coeff(self.w_cb, self.gf, self.dtype)
 
-        # constant RHS: M_ω T_a 1 + (Q_met + Q_rf, v)
-        src_q = eval_coeff(self.q_met, self.gf, self.dtype)
-        if self.q_rf is not None:
-            rf_q = eval_coeff(self.q_rf, self.gf, self.dtype)
-            src_q = rf_q if src_q is None else src_q + rf_q
-        q = self.Mw_qd * self.T_a
-        if src_q is not None:
-            q = q + self.gf.wdet * src_q
-        self.b_const = self.restr.mult_transpose(eval_values_t(self.db, q))
+            self.Mrc_qd = mass.setup(self.gf, rho_c_q)          # ρc mass
+            # packed symmetric qdata: 2/3 HBM traffic in the CG hot loop
+            self.K_qd = diffusion.pack_sym(diffusion.setup(self.gf, k_q))
+            self.Mw_qd = mass.setup(self.gf, w_q)               # perfusion
 
+            # constant RHS: M_ω T_a 1 + (Q_met + Q_rf, v)
+            src_q = eval_coeff(self.q_met, self.gf, self.dtype)
+            if self.q_rf is not None:
+                rf_q = eval_coeff(self.q_rf, self.gf, self.dtype)
+                src_q = rf_q if src_q is None else src_q + rf_q
+            q = self.Mw_qd * self.T_a
+            if src_q is not None:
+                q = q + self.gf.wdet * src_q
+            self.b_const = self.restr.mult_transpose(
+                eval_values_t(self.db, q)
+            )
+        self._finish_init()
+
+    def _fused_assemble(self):
+        """Jit-fused qdata/RHS/diagonal assembly from node coordinates (no
+        padded (…,3,3) arrays ever materialize in HBM)."""
+        from ..fem.fespace import element_node_coords
+        from ..fem.geom_factors import compute_geometric_factors
+
+        fes = self.fes
+        rt = real_t(self.dtype)
+        X = element_node_coords(fes.mesh, fes.order)
+        # transposed (sdim, ndgeo, ne) input layout: trailing (ndgeo, ne)
+        # dims tile cleanly (a trailing (…, nd, 3) pads ~14x)
+        Xt = jnp.asarray(np.ascontiguousarray(np.transpose(X, (2, 1, 0))), rt)
+        d2q = fes.d2q
+        restr, db = self.restr, self.db
+
+        @jax.jit
+        def assemble(Xt):
+            Xe = jnp.transpose(Xt, (2, 1, 0))          # (ne, ndgeo, sdim)
+            gf = compute_geometric_factors(Xe, d2q, self.dtype)
+            qm = mass.setup(gf, eval_coeff(self.rho_c, gf, self.dtype))
+            qw = mass.setup(gf, eval_coeff(self.w_cb, gf, self.dtype))
+            qk = diffusion.pack_sym(
+                diffusion.setup(gf, eval_coeff(self.k, gf, self.dtype))
+            )
+            src_q = eval_coeff(self.q_met, gf, self.dtype)
+            if self.q_rf is not None:
+                rf_q = eval_coeff(self.q_rf, gf, self.dtype)
+                src_q = rf_q if src_q is None else src_q + rf_q
+            q = qw * self.T_a
+            if src_q is not None:
+                q = q + gf.wdet * src_q
+            b = restr.mult_transpose(eval_values_t(db, q))
+            return qm, qw, qk, b
+
+        self.Mrc_qd, self.Mw_qd, self.K_qd, self.b_const = assemble(Xt)
+        self.gf = None
+
+    def _finish_init(self):
+        fes = self.fes
         # ess_bdr=None/() ⇒ pure natural BCs (unlike FESpace.essential_dofs
         # where None means "all boundary attributes")
         if self.ess_bdr:
@@ -93,12 +143,18 @@ class BioheatOperator:
         self.has_ess = len(ess) > 0
 
         # diagonals
-        self.Mrc_diag = self.restr.mult_transpose(
-            mass.diagonal(self.db, self.Mrc_qd)
-        )
-        self.A_diag = self.restr.mult_transpose(
-            diffusion.diagonal(self.db, self.K_qd)
-            + mass.diagonal(self.db, self.Mw_qd)
+        restr, db = self.restr, self.db
+
+        @jax.jit
+        def diags(qm, qw, qk):
+            dM = restr.mult_transpose(mass.diagonal(db, qm))
+            dA = restr.mult_transpose(
+                diffusion.diagonal(db, qk) + mass.diagonal(db, qw)
+            )
+            return dM, dA
+
+        self.Mrc_diag, self.A_diag = diags(
+            self.Mrc_qd, self.Mw_qd, self.K_qd
         )
 
     # ------------------------------------------------------------------
