@@ -115,8 +115,8 @@ class BioheatOperator:
             gf = compute_geometric_factors(Xe, d2q, self.dtype)
             qm = mass.setup(gf, eval_coeff(self.rho_c, gf, self.dtype))
             qw = mass.setup(gf, eval_coeff(self.w_cb, gf, self.dtype))
-            qk = diffusion.pack_sym(
-                diffusion.setup(gf, eval_coeff(self.k, gf, self.dtype))
+            qk = diffusion.setup_packed(
+                gf, eval_coeff(self.k, gf, self.dtype)
             )
             src_q = eval_coeff(self.q_met, gf, self.dtype)
             if self.q_rf is not None:

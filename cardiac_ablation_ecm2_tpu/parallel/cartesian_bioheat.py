@@ -157,7 +157,7 @@ def setup(
         gf = compute_geometric_factors(X, d2q, dtype)
         qm = mmod.setup(gf) * rho_c
         qw = mmod.setup(gf) * w_cb
-        qk = dmod.pack_sym(dmod.setup(gf) * k)
+        qk = dmod.setup_packed(gf, k)
         q = qw * T_a
         if q_src is not None:
             q = q + gf.wdet * q_src(gf.x).astype(rt)

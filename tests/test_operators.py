@@ -130,3 +130,16 @@ def test_packed_diffusion_matches_full():
         d1 = np.asarray(dmod.diagonal(db, qd))
         d2 = np.asarray(dmod.diagonal(db, qp))
         assert np.allclose(d1, d2, atol=1e-12)
+
+
+def test_setup_packed_matches_pack_sym():
+    from cardiac_ablation_ecm2_tpu.ops import diffusion as dmod
+    from cardiac_ablation_ecm2_tpu.fem.build import geom_factors_for
+
+    for name in ("quad", "hex"):
+        mesh = make_mesh(name)
+        fes = FESpace(mesh, 2)
+        gf = geom_factors_for(fes)
+        q1 = np.asarray(dmod.pack_sym(dmod.setup(gf, 1.3)))
+        q2 = np.asarray(dmod.setup_packed(gf, 1.3))
+        assert np.allclose(q1, q2, atol=1e-13)
