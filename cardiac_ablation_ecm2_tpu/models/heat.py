@@ -73,7 +73,7 @@ class ConductionOperator:
     # -- TimeDependentOperator protocol -------------------------------
     def mult(self, t, u):
         """du/dt = M⁻¹(−K(u)u) via CG on the mass matrix (ex16.cpp:317-325)."""
-        qd = diffusion.setup(self.gf, self._kappa_q(u))
+        qd = diffusion.setup_packed(self.gf, self._kappa_q(u))
         rhs = self._zero_ess(-self._K_apply(qd, u))
 
         def Mc(v):
@@ -90,7 +90,7 @@ class ConductionOperator:
 
     def implicit_solve(self, gamma, t, u):
         """Solve (M + γ K(u)) k = −K(u) u (ex16.cpp:327-356)."""
-        qd = diffusion.setup(self.gf, self._kappa_q(u))
+        qd = diffusion.setup_packed(self.gf, self._kappa_q(u))
 
         def T_apply(v):
             z = self._zero_ess(v)

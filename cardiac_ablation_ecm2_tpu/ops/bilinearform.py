@@ -192,6 +192,13 @@ class BilinearForm:
                     cq = eval_coeff(t.coeff, gf, dtype)
                     vq = _eval_vector_coeff(t.vector_coeff, gf, dtype)
                     qd = mod.setup(gf, cq, vq)
+                elif t.kind == "diffusion":
+                    cq = eval_coeff(t.coeff, gf, dtype)
+                    if cq is None or cq.ndim == 2:
+                        # packed symmetric storage: TPU-tileable + 2/3 traffic
+                        qd = mod.setup_packed(gf, cq)
+                    else:
+                        qd = mod.setup(gf, cq)
                 else:
                     qd = mod.setup(gf, eval_coeff(t.coeff, gf, dtype))
             bound.append(_BoundTerm(mod=mod, qdata=qd, restr=restr, db=db))
