@@ -61,12 +61,19 @@ class AblationSim:
     solver: str = "sdirk33"
     rel_tol: float = 1e-10
     dtype: object = None
+    #: (nx, ny, nz) to use the structured Cartesian fast path (large meshes)
+    cartesian: object = None
 
     def __post_init__(self):
+        fes = None
+        if self.cartesian is not None:
+            from ..fem.cartesian import CartesianFESpace
+
+            fes = CartesianFESpace(self.mesh, self.order, tuple(self.cartesian))
         self.rf = rf_laplace.solve(
             self.mesh, self.order, self.sigma,
             self.electrode_bdr, self.ground_bdr, self.voltage,
-            dtype=self.dtype,
+            dtype=self.dtype, fes=fes,
         )
         self.fes = self.rf.fes
         self.op = bioheat.BioheatOperator(

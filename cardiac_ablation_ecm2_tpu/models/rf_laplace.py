@@ -47,9 +47,14 @@ def solve(
     rel_tol: float = 1e-12,
     max_iter: int = 2000,
     dtype=None,
+    fes=None,
 ) -> RFResult:
-    """Solve ∇·(σ∇Φ)=0, Φ=V₀ on electrode, Φ=0 on ground; return Φ and SAR."""
-    fes = FESpace(mesh, order)
+    """Solve ∇·(σ∇Φ)=0, Φ=V₀ on electrode, Φ=0 on ground; return Φ and SAR.
+
+    ``fes`` may be a prebuilt space (e.g. CartesianFESpace for the structured
+    fast path); default builds a generic FESpace."""
+    if fes is None:
+        fes = FESpace(mesh, order)
     a = BilinearForm(fes).add_domain_integrator("diffusion", sigma)
     A = a.assemble(dtype).operator()
 
