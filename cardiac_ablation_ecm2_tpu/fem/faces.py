@@ -45,6 +45,14 @@ class FaceData:
     b_wdet: np.ndarray     # (nfb, nq_f)
     b_xq: np.ndarray       # (nfb, nq_f, dim)
     b_attr: np.ndarray     # (nfb,)
+    # physical basis gradients at face qpts (filled when with_gradients=True;
+    # needed by DG diffusion / interior penalty)
+    G0: np.ndarray = None  # (nfi, nq_f, nd, dim)
+    G1: np.ndarray = None
+    b_G: np.ndarray = None  # (nfb, nq_f, nd, dim)
+    h0: np.ndarray = None   # (nfi,) elem0 size normal to face (penalty scale)
+    h1: np.ndarray = None
+    b_h: np.ndarray = None
 
 
 def _face_quad(fgeom: Geometry, nq1d: int):
@@ -76,9 +84,36 @@ def _eval_volume_basis(geom: Geometry, p: int, pts: np.ndarray) -> np.ndarray:
     return B
 
 
+def _eval_volume_basis_grad(geom: Geometry, p: int, pts: np.ndarray) -> np.ndarray:
+    """Reference gradients of the volume basis at points → (npts, nd, dim)."""
+    dim = DIMENSION[geom]
+    if IS_TENSOR.get(geom, False):
+        x1 = h1_nodes_1d(p)
+        vals = [lagrange_matrices(x1, pts[:, d]) for d in range(dim)]
+        out = np.zeros((len(pts), (p + 1) ** dim, dim))
+        for dd in range(dim):
+            per = [vals[d][1] if d == dd else vals[d][0] for d in range(dim)]
+            if dim == 1:
+                out[:, :, dd] = per[0]
+            elif dim == 2:
+                out[:, :, dd] = np.einsum(
+                    "qi,qj->qji", per[0], per[1]
+                ).reshape(len(pts), -1)
+            else:
+                out[:, :, dd] = np.einsum(
+                    "qi,qj,qk->qkji", per[0], per[1], per[2]
+                ).reshape(len(pts), -1)
+        return out
+    _, G = simplex_basis_matrices(geom, p, pts)
+    return G
+
+
 def build_face_data(mesh, p: int, nq1d: Optional[int] = None,
-                    nodes: str = "l2") -> FaceData:
-    """Assemble all face tables for an order-p (L2) space on ``mesh``."""
+                    nodes: str = "l2", with_gradients: bool = False) -> FaceData:
+    """Assemble all face tables for an order-p (L2) space on ``mesh``.
+
+    ``with_gradients``: also compute per-side *physical* basis gradients at
+    the face quadrature points and normal element sizes (DG diffusion)."""
     geom = mesh.geom
     dim = mesh.dim
     fgeom = FACE_GEOM[geom]
@@ -190,6 +225,49 @@ def build_face_data(mesh, p: int, nq1d: Optional[int] = None,
         mag = np.linalg.norm(n, axis=1)
         return x, n / mag[:, None], mag
 
+    from .fespace import _q1_eval_matrix
+
+    def phys_grad_and_h(e, ref_pts, Gref, face_area):
+        """J^{-T} Gref at each point + normal element size vol/area."""
+        V = mesh.vertices[mesh.elements[e]]           # (nv_el, sdim)
+        # Q1 Jacobian at the ref points via finite differences of the Q1 map
+        # (exact for multilinear within machine eps using central diffs)
+        out = np.zeros_like(Gref)
+        h = 1e-6
+        vol = None
+        for iq, xi in enumerate(ref_pts):
+            J = np.zeros((mesh.sdim, dim))
+            for d in range(dim):
+                xp = xi.copy(); xp[d] += h
+                xm = xi.copy(); xm[d] -= h
+                J[:, d] = (
+                    (_q1_eval_matrix(geom, xp[None])[0]
+                     - _q1_eval_matrix(geom, xm[None])[0]) @ V
+                ) / (2 * h)
+            Jinv = np.linalg.inv(J)
+            out[iq] = Gref[iq] @ Jinv
+        # element volume via centroid Jacobian (exact for parallelepipeds,
+        # adequate penalty scale otherwise)
+        c = np.full(dim, 0.5) if geom in (Geometry.SQUARE, Geometry.CUBE) \
+            else np.full(dim, 1.0 / (dim + 1))
+        Jc = np.zeros((mesh.sdim, dim))
+        for d in range(dim):
+            xp = c.copy(); xp[d] += h
+            xm = c.copy(); xm[d] -= h
+            Jc[:, d] = ((_q1_eval_matrix(geom, xp[None])[0]
+                         - _q1_eval_matrix(geom, xm[None])[0]) @ V) / (2 * h)
+        refvol = 1.0 if geom in (Geometry.SQUARE, Geometry.CUBE) else (
+            0.5 if geom == Geometry.TRIANGLE else 1.0 / 6.0
+        )
+        vol = abs(np.linalg.det(Jc)) * refvol
+        return out, vol / face_area
+
+    if with_gradients:
+        G0a = np.zeros((nfi, nq_f, nd, dim))
+        G1a = np.zeros((nfi, nq_f, nd, dim))
+        h0a = np.zeros(nfi)
+        h1a = np.zeros(nfi)
+
     for i, (key, (e0, lf0), (e1, lf1)) in enumerate(int_rows):
         r0 = face_ref_points(e0, lf0)
         r1 = face_ref_points(e1, lf1)
@@ -202,6 +280,14 @@ def build_face_data(mesh, p: int, nq1d: Optional[int] = None,
         nrm[i] = n * (sgn if sgn != 0 else 1.0)
         wdt[i] = fw * mag
         xqs[i] = x
+        if with_gradients:
+            area = float(np.sum(fw * mag))
+            G0a[i], h0a[i] = phys_grad_and_h(
+                e0, r0, _eval_volume_basis_grad(geom, p, r0), area
+            )
+            G1a[i], h1a[i] = phys_grad_and_h(
+                e1, r1, _eval_volume_basis_grad(geom, p, r1), area
+            )
 
     nfb = len(bdr_rows)
     bB = np.zeros((nfb, nq_f, nd))
@@ -210,6 +296,10 @@ def build_face_data(mesh, p: int, nq1d: Optional[int] = None,
     bw = np.zeros((nfb, nq_f))
     bx = np.zeros((nfb, nq_f, dim))
     battr = np.zeros(nfb, dtype=np.int64)
+    if with_gradients:
+        bGa = np.zeros((nfb, nq_f, nd, dim))
+        bha = np.zeros(nfb)
+
     for i, (key, (e0, lf0), attr) in enumerate(bdr_rows):
         r0 = face_ref_points(e0, lf0)
         bB[i] = _eval_volume_basis(geom, p, r0)
@@ -220,8 +310,17 @@ def build_face_data(mesh, p: int, nq1d: Optional[int] = None,
         bw[i] = fw * mag
         bx[i] = x
         battr[i] = attr
+        if with_gradients:
+            area = float(np.sum(fw * mag))
+            bGa[i], bha[i] = phys_grad_and_h(
+                e0, r0, _eval_volume_basis_grad(geom, p, r0), area
+            )
 
-    return FaceData(
+    fd = FaceData(
         elem0=e0s, elem1=e1s, B0=B0, B1=B1, normal=nrm, wdet=wdt, xq=xqs,
         b_elem=be, b_B=bB, b_normal=bn, b_wdet=bw, b_xq=bx, b_attr=battr,
     )
+    if with_gradients:
+        fd.G0, fd.G1, fd.h0, fd.h1 = G0a, G1a, h0a, h1a
+        fd.b_G, fd.b_h = bGa, bha
+    return fd
