@@ -1,2 +1,2 @@
-from . import (ablation, bioheat, darcy, elasticity, heat, hyperelastic,
-               poisson, rf_laplace, wave)
+from . import (ablation, advection_diffusion, bioheat, darcy, elasticity,
+               heat, hyperelastic, poisson, rf_laplace, wave)

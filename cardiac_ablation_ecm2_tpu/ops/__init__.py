@@ -8,3 +8,4 @@ from .operators import (
 from . import convection, diffusion, elasticity, linearform, mass
 from . import block, dg_advection, vecfe
 from . import hyperbolic
+from . import dg_diffusion
