@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--structured", action="store_true",
+                    help="use the Cartesian gather-free fast path")
     args = ap.parse_args()
 
     import jax
@@ -34,6 +36,7 @@ def main():
     import jax.numpy as jnp
 
     from cardiac_ablation_ecm2_tpu.fem import FESpace
+    from cardiac_ablation_ecm2_tpu.fem.cartesian import CartesianFESpace
     from cardiac_ablation_ecm2_tpu.linalg.solvers import cg
     from cardiac_ablation_ecm2_tpu.linalg.smoothers import jacobi
     from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_3d
@@ -46,7 +49,10 @@ def main():
         # keep dof count roughly constant across orders
         n = max(2, args.n // order)
         mesh = make_cartesian_3d(n, n, n)
-        fes = FESpace(mesh, order)
+        if args.structured:
+            fes = CartesianFESpace(mesh, order, (n, n, n))
+        else:
+            fes = FESpace(mesh, order)
         for bp, kind in (("BP1", "mass"), ("BP3", "diffusion")):
             a = BilinearForm(fes).add_domain_integrator(kind)
             A = ConstrainedOperator.wrap(
@@ -75,6 +81,7 @@ def main():
                 "MDof_per_s": round(mdofs, 2),
                 "dtype": args.dtype,
                 "device": str(jax.devices()[0]),
+                "structured": args.structured,
             }), flush=True)
 
 
