@@ -57,7 +57,7 @@ def main():
     op = bioheat.BioheatOperator(
         fes=fes, rho_c=3.6e6, k=0.54, w_cb=2e4, T_a=37.0, q_met=src,
         ess_bdr=[1, 2, 3, 4, 5, 6], rel_tol=tol, max_iter=300,
-        dtype=dtype, fused_setup=True,
+        dtype=dtype, fused_setup=True, theta_form=True,
     )
     solver = ode.select("sdirk33")
 
@@ -65,7 +65,8 @@ def main():
     def step(T, t, dt):
         return solver.step(op, T, t, dt)
 
-    T = jnp.full(fes.ndof, 37.0, dtype=jnp.dtype(dtype))
+    # theta form: state is the temperature rise (starts at 0)
+    T = jnp.zeros(fes.ndof, dtype=jnp.dtype(dtype))
     t, dt = jnp.asarray(0.0, T.dtype), jnp.asarray(0.25, T.dtype)
 
     # warmup / compile

@@ -20,8 +20,18 @@ import dataclasses
 import functools
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+#: full-f32 MXU contractions: the TPU default (bf16 operands) costs ~4e-3
+#: relative error per product — measured 0.02 K bias on a 0.34 K bioheat rise.
+#: The applies are memory-bound, so the 3-pass f32 MXU mode is ~free.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _es(spec, *ops):
+    return jnp.einsum(spec, *ops, precision=_PREC)
 
 from ..utils.config import real_t
 from .basis import DofToQuad
@@ -76,67 +86,67 @@ def eval_values(db: DeviceBasis, u_e: jnp.ndarray) -> jnp.ndarray:
     """(ne, nd[, c]) → (ne, nq[, c]) basis values at quadrature points."""
     extra = u_e.ndim - 2
     if not db.tensor:
-        return jnp.einsum("qn,en...->eq...", db.B, u_e)
+        return _es("qn,en...->eq...", db.B, u_e)
     B = db.B1
     n1 = db.n1d
     ne = u_e.shape[0]
     if db.dim == 1:
-        return jnp.einsum("qi,ei...->eq...", B, u_e)
+        return _es("qi,ei...->eq...", B, u_e)
     if db.dim == 2:
         u = u_e.reshape(ne, n1, n1, *u_e.shape[2:])          # (e, j, i, ...)
-        t = jnp.einsum("ai,eji...->eja...", B, u)
-        t = jnp.einsum("bj,eja...->eba...", B, t)
+        t = _es("ai,eji...->eja...", B, u)
+        t = _es("bj,eja...->eba...", B, t)
         return t.reshape(ne, -1, *u_e.shape[2:]) if extra else t.reshape(ne, -1)
     u = _t3(u_e, n1)                                          # (e, k, j, i, ...)
-    t = jnp.einsum("ai,ekji...->ekja...", B, u)
-    t = jnp.einsum("bj,ekja...->ekba...", B, t)
-    t = jnp.einsum("ck,ekba...->ecba...", B, t)
+    t = _es("ai,ekji...->ekja...", B, u)
+    t = _es("bj,ekja...->ekba...", B, t)
+    t = _es("ck,ekba...->ecba...", B, t)
     return t.reshape(ne, -1, *u_e.shape[2:])
 
 
 def eval_values_t(db: DeviceBasis, q: jnp.ndarray) -> jnp.ndarray:
     """Adjoint of eval_values: (ne, nq[, c]) → (ne, nd[, c])."""
     if not db.tensor:
-        return jnp.einsum("qn,eq...->en...", db.B, q)
+        return _es("qn,eq...->en...", db.B, q)
     B = db.B1
     nq1 = db.nq1d
     ne = q.shape[0]
     if db.dim == 1:
-        return jnp.einsum("qi,eq...->ei...", B, q)
+        return _es("qi,eq...->ei...", B, q)
     if db.dim == 2:
         v = q.reshape(ne, nq1, nq1, *q.shape[2:])             # (e, b, a, ...)
-        t = jnp.einsum("ai,eba...->ebi...", B, v)
-        t = jnp.einsum("bj,ebi...->eji...", B, t)
+        t = _es("ai,eba...->ebi...", B, v)
+        t = _es("bj,ebi...->eji...", B, t)
         return t.reshape(ne, -1, *q.shape[2:])
     v = q.reshape(ne, nq1, nq1, nq1, *q.shape[2:])            # (e, c, b, a, ...)
-    t = jnp.einsum("ai,ecba...->ecbi...", B, v)
-    t = jnp.einsum("bj,ecbi...->ecji...", B, t)
-    t = jnp.einsum("ck,ecji...->ekji...", B, t)
+    t = _es("ai,ecba...->ecbi...", B, v)
+    t = _es("bj,ecbi...->ecji...", B, t)
+    t = _es("ck,ecji...->ekji...", B, t)
     return t.reshape(ne, -1, *q.shape[2:])
 
 
 def eval_grad(db: DeviceBasis, u_e: jnp.ndarray) -> jnp.ndarray:
     """Reference-space gradients: (ne, nd[, c]) → (ne, nq, dim[, c])."""
     if not db.tensor:
-        return jnp.einsum("qnd,en...->eqd...", db.G, u_e)
+        return _es("qnd,en...->eqd...", db.G, u_e)
     B, G = db.B1, db.G1
     n1 = db.n1d
     ne = u_e.shape[0]
     extra = u_e.shape[2:]
     if db.dim == 1:
-        g = jnp.einsum("qi,ei...->eq...", G, u_e)
+        g = _es("qi,ei...->eq...", G, u_e)
         return jnp.expand_dims(g, 2)
     if db.dim == 2:
         u = u_e.reshape(ne, n1, n1, *extra)
-        gx = jnp.einsum("bj,eja...->eba...", B, jnp.einsum("ai,eji...->eja...", G, u))
-        gy = jnp.einsum("bj,eja...->eba...", G, jnp.einsum("ai,eji...->eja...", B, u))
+        gx = _es("bj,eja...->eba...", B, _es("ai,eji...->eja...", G, u))
+        gy = _es("bj,eja...->eba...", G, _es("ai,eji...->eja...", B, u))
         g = jnp.stack([gx.reshape(ne, -1, *extra), gy.reshape(ne, -1, *extra)], axis=2)
         return g
     u = _t3(u_e, n1)
     def _c(Fx, Fy, Fz):
-        t = jnp.einsum("ai,ekji...->ekja...", Fx, u)
-        t = jnp.einsum("bj,ekja...->ekba...", Fy, t)
-        t = jnp.einsum("ck,ekba...->ecba...", Fz, t)
+        t = _es("ai,ekji...->ekja...", Fx, u)
+        t = _es("bj,ekja...->ekba...", Fy, t)
+        t = _es("ck,ekba...->ecba...", Fz, t)
         return t.reshape(ne, -1, *extra)
     g = jnp.stack([_c(G, B, B), _c(B, G, B), _c(B, B, G)], axis=2)
     return g
@@ -145,25 +155,25 @@ def eval_grad(db: DeviceBasis, u_e: jnp.ndarray) -> jnp.ndarray:
 def eval_grad_t(db: DeviceBasis, q: jnp.ndarray) -> jnp.ndarray:
     """Adjoint of eval_grad: (ne, nq, dim[, c]) → (ne, nd[, c])."""
     if not db.tensor:
-        return jnp.einsum("qnd,eqd...->en...", db.G, q)
+        return _es("qnd,eqd...->en...", db.G, q)
     B, G = db.B1, db.G1
     nq1 = db.nq1d
     ne = q.shape[0]
     extra = q.shape[3:]
     if db.dim == 1:
-        return jnp.einsum("qi,eq...->ei...", G, q[:, :, 0])
+        return _es("qi,eq...->ei...", G, q[:, :, 0])
     if db.dim == 2:
         v = q.reshape(ne, nq1, nq1, 2, *extra)
         def _ct(Fx, Fy, comp):
-            t = jnp.einsum("ai,eba...->ebi...", Fx, v[:, :, :, comp])
-            t = jnp.einsum("bj,ebi...->eji...", Fy, t)
+            t = _es("ai,eba...->ebi...", Fx, v[:, :, :, comp])
+            t = _es("bj,ebi...->eji...", Fy, t)
             return t.reshape(ne, -1, *extra)
         return _ct(G, B, 0) + _ct(B, G, 1)
     v = q.reshape(ne, nq1, nq1, nq1, 3, *extra)
     def _ct3(Fx, Fy, Fz, comp):
-        t = jnp.einsum("ai,ecba...->ecbi...", Fx, v[:, :, :, :, comp])
-        t = jnp.einsum("bj,ecbi...->ecji...", Fy, t)
-        t = jnp.einsum("ck,ecji...->ekji...", Fz, t)
+        t = _es("ai,ecba...->ecbi...", Fx, v[:, :, :, :, comp])
+        t = _es("bj,ecbi...->ecji...", Fy, t)
+        t = _es("ck,ecji...->ekji...", Fz, t)
         return t.reshape(ne, -1, *extra)
     return _ct3(G, B, B, 0) + _ct3(B, G, B, 1) + _ct3(B, B, G, 2)
 
@@ -180,14 +190,14 @@ def contract_q_to_e(factors: Tuple[jnp.ndarray, ...], q: jnp.ndarray) -> jnp.nda
     ne = q.shape[0]
     extra = q.shape[2:]
     if dim == 1:
-        return jnp.einsum("qi,eq...->ei...", factors[0], q)
+        return _es("qi,eq...->ei...", factors[0], q)
     if dim == 2:
         v = q.reshape(ne, nq1, nq1, *extra)
-        t = jnp.einsum("ai,eba...->ebi...", factors[0], v)
-        t = jnp.einsum("bj,ebi...->eji...", factors[1], t)
+        t = _es("ai,eba...->ebi...", factors[0], v)
+        t = _es("bj,ebi...->eji...", factors[1], t)
         return t.reshape(ne, -1, *extra)
     v = q.reshape(ne, nq1, nq1, nq1, *extra)
-    t = jnp.einsum("ai,ecba...->ecbi...", factors[0], v)
-    t = jnp.einsum("bj,ecbi...->ecji...", factors[1], t)
-    t = jnp.einsum("ck,ecji...->ekji...", factors[2], t)
+    t = _es("ai,ecba...->ecbi...", factors[0], v)
+    t = _es("bj,ecbi...->ecji...", factors[1], t)
+    t = _es("ck,ecji...->ekji...", factors[2], t)
     return t.reshape(ne, -1, *extra)
