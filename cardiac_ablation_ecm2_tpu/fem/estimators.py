@@ -40,3 +40,25 @@ def zz_estimator(fes, u, nq1d=None, dtype=None) -> np.ndarray:
     diff2 = jnp.sum((Gq - g) ** 2, axis=-1)
     eta2 = jnp.sum(wd * diff2, axis=1)
     return np.sqrt(np.maximum(np.asarray(eta2), 0.0))
+
+
+def kelly_estimator(fes, u, nq1d=None, dtype=None) -> np.ndarray:
+    """Kelly flux-jump estimator (KellyErrorEstimator, fem/estimators.hpp:555):
+    η_K² = Σ_{F⊂∂K} h_F ∮_F [∇u·n]² /2, computed with the face machinery."""
+    from .faces import build_face_data
+    from .restriction import ElementRestriction
+
+    mesh = fes.mesh
+    fd = build_face_data(mesh, fes.order, nq1d, with_gradients=True)
+    restr = restriction_for(fes)
+    e = np.asarray(restr.mult(jnp.asarray(u)))            # (ne, nd)
+    # normal flux from each side at face qpts
+    g0 = np.einsum("fqnd,fqd,fn->fq", fd.G0, fd.normal, e[fd.elem0])
+    g1 = np.einsum("fqnd,fqd,fn->fq", fd.G1, fd.normal, e[fd.elem1])
+    jump2 = (g0 - g1) ** 2
+    h_f = 0.5 * (fd.h0 + fd.h1)
+    face_eta = h_f * np.sum(fd.wdet * jump2, axis=1)      # (nfi,)
+    eta2 = np.zeros(mesh.ne)
+    np.add.at(eta2, fd.elem0, 0.5 * face_eta)
+    np.add.at(eta2, fd.elem1, 0.5 * face_eta)
+    return np.sqrt(eta2)

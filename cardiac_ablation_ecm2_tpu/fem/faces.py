@@ -227,6 +227,14 @@ def build_face_data(mesh, p: int, nq1d: Optional[int] = None,
 
     from .fespace import _q1_eval_matrix
 
+    def _geom_shape(pts):
+        """Linear geometry shape functions (affine for simplices,
+        multilinear for tensor cells) — _q1_eval_matrix is tensor-only."""
+        if geom in (Geometry.TRIANGLE, Geometry.TETRAHEDRON):
+            B, _ = simplex_basis_matrices(geom, 1, np.atleast_2d(pts))
+            return B
+        return _q1_eval_matrix(geom, np.atleast_2d(pts))
+
     def phys_grad_and_h(e, ref_pts, Gref, face_area):
         """J^{-T} Gref at each point + normal element size vol/area."""
         V = mesh.vertices[mesh.elements[e]]           # (nv_el, sdim)
@@ -241,8 +249,7 @@ def build_face_data(mesh, p: int, nq1d: Optional[int] = None,
                 xp = xi.copy(); xp[d] += h
                 xm = xi.copy(); xm[d] -= h
                 J[:, d] = (
-                    (_q1_eval_matrix(geom, xp[None])[0]
-                     - _q1_eval_matrix(geom, xm[None])[0]) @ V
+                    (_geom_shape(xp[None])[0] - _geom_shape(xm[None])[0]) @ V
                 ) / (2 * h)
             Jinv = np.linalg.inv(J)
             out[iq] = Gref[iq] @ Jinv
@@ -254,8 +261,8 @@ def build_face_data(mesh, p: int, nq1d: Optional[int] = None,
         for d in range(dim):
             xp = c.copy(); xp[d] += h
             xm = c.copy(); xm[d] -= h
-            Jc[:, d] = ((_q1_eval_matrix(geom, xp[None])[0]
-                         - _q1_eval_matrix(geom, xm[None])[0]) @ V) / (2 * h)
+            Jc[:, d] = ((_geom_shape(xp[None])[0]
+                         - _geom_shape(xm[None])[0]) @ V) / (2 * h)
         refvol = 1.0 if geom in (Geometry.SQUARE, Geometry.CUBE) else (
             0.5 if geom == Geometry.TRIANGLE else 1.0 / 6.0
         )

@@ -155,3 +155,35 @@ def test_solution_transfer():
     u2 = interp_after_refine(fes, fes2, u)
     u2_direct = project(fes2, f)
     assert np.allclose(np.asarray(u2), np.asarray(u2_direct), atol=1e-10)
+
+
+def test_kelly_estimator_flags_singularity():
+    from cardiac_ablation_ecm2_tpu.fem.estimators import kelly_estimator
+
+    mesh = lshape_mesh()
+    res = poisson.solve(mesh, order=2, rhs=lambda x: 0 * np.asarray(x)[..., 0],
+                        bc=u_singular, rel_tol=1e-12)
+    eta = kelly_estimator(res.fes, res.u)
+    cent = mesh.vertices[mesh.elements].mean(axis=1)
+    r = np.linalg.norm(cent, axis=1)
+    assert r[np.argmax(eta)] < 0.5, (r[np.argmax(eta)], eta.max())
+
+
+def test_attribute_sets():
+    from cardiac_ablation_ecm2_tpu.mesh.attribute_sets import (
+        AttributeSets,
+        resolve_marker,
+    )
+    from cardiac_ablation_ecm2_tpu.fem import FESpace
+    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_2d
+
+    s = AttributeSets()
+    s.set("walls", [1, 3])
+    s.add_to("walls", [4])
+    s.set("inlet", [2])
+    assert s.get("walls") == [1, 3, 4]
+    assert s.union("walls", "inlet") == [1, 2, 3, 4]
+    mesh = make_cartesian_2d(3, 3)
+    fes = FESpace(mesh, 2)
+    ess = fes.essential_dofs(resolve_marker("inlet", s))
+    assert np.allclose(fes.dof_coords[ess][:, 0], 1.0)   # x=1 side
