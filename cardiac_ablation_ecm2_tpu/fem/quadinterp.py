@@ -24,14 +24,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-#: full-f32 MXU contractions: the TPU default (bf16 operands) costs ~4e-3
-#: relative error per product — measured 0.02 K bias on a 0.34 K bioheat rise.
-#: The applies are memory-bound, so the 3-pass f32 MXU mode is ~free.
-_PREC = jax.lax.Precision.HIGHEST
+#: MXU contraction precision (see utils.config.Config.matmul_precision): the
+#: TPU default (single-pass bf16 operands) costs ~4e-3 relative error per
+#: product — measured 0.02 K bias on a 0.34 K bioheat rise.
+_PRECS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 
 
 def _es(spec, *ops):
-    return jnp.einsum(spec, *ops, precision=_PREC)
+    from ..utils.config import config
+
+    return jnp.einsum(spec, *ops, precision=_PRECS[config.matmul_precision])
 
 from ..utils.config import real_t
 from .basis import DofToQuad

@@ -43,6 +43,11 @@ class Config:
     #: Accumulate iterative-solver inner products in float64 even when
     #: ``dtype`` is float32 (mixed-precision CG; SURVEY.md §7 risk item 1).
     f64_reductions: bool = True
+    #: MXU contraction precision for the sum-factorized applies:
+    #: "highest" = full f32 (6-pass), "high" = 3-pass bf16 (usually
+    #: f32-equivalent), "default" = single-pass bf16 (fast, ~4e-3/product —
+    #: unacceptable for the 1e-8-parity targets).
+    matmul_precision: str = "highest"
 
 
 config = Config()
