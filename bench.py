@@ -43,7 +43,8 @@ def main():
     from cardiac_ablation_ecm2_tpu.models import bioheat
     from cardiac_ablation_ecm2_tpu.utils.config import configure
 
-    configure(dtype=dtype)
+    configure(dtype=dtype,
+              matmul_precision=os.environ.get("BENCH_MATMUL", "high"))
 
     L = 0.04
     mesh = make_cartesian_3d(n, n, n, L, L, L)
