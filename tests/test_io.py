@@ -84,3 +84,63 @@ def test_curved_mesh_volume_parity(name, ne, vol):
     fes = FESpace(m, 2)
     v = float(np.sum(np.asarray(geom_factors_for(fes).wdet)))
     assert np.isclose(v, vol, rtol=1e-13), (v, vol)
+
+
+GMSH_QUAD = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$PhysicalNames
+2
+1 7 "walls"
+2 9 "domain"
+$EndPhysicalNames
+$Nodes
+9
+1 0 0 0
+2 1 0 0
+3 2 0 0
+4 0 1 0
+5 1 1 0
+6 2 1 0
+7 0 2 0
+8 1 2 0
+9 2 2 0
+$EndNodes
+$Elements
+12
+1 3 2 9 1 1 2 5 4
+2 3 2 9 1 2 3 6 5
+3 3 2 9 1 4 5 8 7
+4 3 2 9 1 5 6 9 8
+5 1 2 7 2 1 2
+6 1 2 7 2 2 3
+7 1 2 7 2 3 6
+8 1 2 7 2 6 9
+9 1 2 7 2 9 8
+10 1 2 7 2 8 7
+11 1 2 7 2 7 4
+12 1 2 7 2 4 1
+$EndElements
+"""
+
+
+def test_read_gmsh():
+    """Gmsh 2.2 reader: quads + physical names + boundary selection."""
+    from cardiac_ablation_ecm2_tpu.io.gmsh import read_gmsh
+
+    m, names = read_gmsh(GMSH_QUAD)
+    assert m.geom.name == "SQUARE" and m.ne == 4 and m.nbe == 8
+    assert "walls" in names and "domain" in names
+    assert np.isclose(mesh_volume(m), 4.0)
+    fes = FESpace(m, 2)
+    ess = fes.essential_dofs(names.get("walls"))
+    assert len(ess) == 16   # perimeter of the 5x5 node grid
+
+
+def test_gmsh_mixed_mesh_rejected():
+    """compass.msh is a mixed tri+quad mesh — mixed-geometry batching is a
+    tracked round-2 item (SURVEY §7 hard part 5); the reader must say so."""
+    from cardiac_ablation_ecm2_tpu.io.gmsh import read_gmsh
+
+    with pytest.raises(NotImplementedError, match="mixed"):
+        read_gmsh(f"{DATA}/compass.msh")
