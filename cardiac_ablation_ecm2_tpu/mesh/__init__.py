@@ -2,6 +2,7 @@ from .mesh import (
     Mesh,
     curve_mesh,
     make_cartesian_2d,
+    make_periodic_cartesian_2d,
     make_cartesian_2d_tri,
     make_cartesian_3d,
     make_cartesian_3d_tet,

@@ -199,6 +199,72 @@ def make_cartesian_3d(
     )
 
 
+def make_periodic_cartesian_2d(nx: int, ny: int, sx: float = 1.0,
+                               sy: float = 1.0, periodic=(True, True)) -> Mesh:
+    """Periodic quad grid: vertices on periodic boundaries are identified
+    (the reference's MakePeriodic, mesh/mesh.cpp).  The key-based dof
+    numbering and face matching then yield periodic continuity for free —
+    periodic "boundary" faces pair up as interior faces.
+
+    Vertex positions keep the left/bottom copy; element geometry for wrapped
+    cells is supplied via explicit curved ``nodes`` so Jacobians stay correct.
+    """
+    from ..fem.geometry import REF_VERTS
+
+    px, py = periodic
+    xs = np.linspace(0.0, sx, nx + 1)
+    ys = np.linspace(0.0, sy, ny + 1)
+
+    def vid(i, j):
+        ii = i % nx if px else i
+        jj = j % ny if py else j
+        return ii + (nx + (0 if px else 1)) * jj
+
+    nvx = nx if px else nx + 1
+    nvy = ny if py else ny + 1
+    X, Y = np.meshgrid(xs[:nvx], ys[:nvy], indexing="ij")
+    verts = np.stack([X.ravel(order="F"), Y.ravel(order="F")], axis=1)
+
+    elems = []
+    nodes = []
+    for j in range(ny):
+        for i in range(nx):
+            conn = [vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)]
+            elems.append(conn)
+            # physical corner coords of THIS cell (not the wrapped copies)
+            corners = np.array([
+                [xs[i], ys[j]], [xs[i + 1], ys[j]],
+                [xs[i + 1], ys[j + 1]], [xs[i], ys[j + 1]],
+            ])
+            nodes.append(corners)
+    elems = np.array(elems, dtype=np.int64)
+    nodes = np.array(nodes)                  # (ne, 4, 2) = order-1 E-vector
+    # reorder corner storage to the order-1 lex lattice (v0,v1,v3,v2)
+    nodes = nodes[:, [0, 1, 3, 2], :]
+
+    bdr, battr = [], []
+    if not py:
+        for i in range(nx):
+            bdr.append((vid(i, 0), vid(i + 1, 0))); battr.append(1)
+            bdr.append((vid(i + 1, ny), vid(i, ny))); battr.append(3)
+    if not px:
+        for j in range(ny):
+            bdr.append((vid(nx, j), vid(nx, j + 1))); battr.append(2)
+            bdr.append((vid(0, j + 1), vid(0, j))); battr.append(4)
+
+    return Mesh(
+        geom=Geometry.SQUARE,
+        vertices=verts,
+        elements=elems,
+        attributes=np.ones(len(elems), dtype=np.int64),
+        boundary=(np.array(bdr, dtype=np.int64) if bdr
+                  else np.zeros((0, 2), dtype=np.int64)),
+        bdr_attributes=np.array(battr, dtype=np.int64),
+        nodes=nodes,
+        nodes_order=1,
+    )
+
+
 def make_cartesian_2d_tri(nx: int, ny: int, sx: float = 1.0, sy: float = 1.0) -> Mesh:
     """Triangular grid: each Cartesian quad split along its (v0,v2) diagonal."""
     q = make_cartesian_2d(nx, ny, sx, sy)
