@@ -127,6 +127,22 @@ def build_face_data(mesh, p: int, nq1d: Optional[int] = None,
     elems = mesh.elements
     ne = mesh.ne
 
+    # per-element corner coordinates.  For ordinary meshes these equal
+    # mesh.vertices[conn]; for periodic meshes (identified vertices with
+    # explicit order-1 nodes) the element's OWN copy of each corner differs
+    # from the shared vertex position — face geometry must use the former.
+    if mesh.nodes is not None and mesh.nodes_order == 1:
+        X1 = mesh.nodes                          # (ne, nv_lex, sdim)
+        mi1 = lattice_multi_index(geom, 1)
+        lex_of = {tuple(row): i for i, row in enumerate(mi1)}
+        latt_i = np.rint(latt_v).astype(np.int64)
+        corner_coords = np.stack(
+            [X1[:, lex_of[tuple(latt_i[v])]] for v in range(len(latt_v))],
+            axis=1,
+        )                                        # (ne, nv_el, sdim)
+    else:
+        corner_coords = mesh.vertices[elems]
+
     # gather (elem, local_face) incidences keyed by sorted vertex tuple
     from collections import defaultdict
 
@@ -192,7 +208,7 @@ def build_face_data(mesh, p: int, nq1d: Optional[int] = None,
     wdt = np.zeros((nfi, nq_f))
     xqs = np.zeros((nfi, nq_f, dim))
 
-    cent = mesh.vertices[mesh.elements].mean(axis=1)
+    cent = corner_coords.mean(axis=1)
 
     def canonical_face_phys(key, e, lf):
         """Physical points / normal / measure for the canonical face frame."""
@@ -202,8 +218,7 @@ def build_face_data(mesh, p: int, nq1d: Optional[int] = None,
         r = int(np.argmin(gids))
         d = 1 if gids[(r + 1) % k] < gids[(r - 1) % k] else -1
         cyc = [(r + d * i) % k for i in range(k)]
-        gl = [elems[e, fverts[c]] for c in cyc]
-        V = mesh.vertices[gl]                          # (k, sdim)
+        V = np.stack([corner_coords[e, fverts[c]] for c in cyc])  # (k, sdim)
         if k == 2:
             a = fq[:, 0:1]
             x = V[0] * (1 - a) + V[1] * a
@@ -237,7 +252,7 @@ def build_face_data(mesh, p: int, nq1d: Optional[int] = None,
 
     def phys_grad_and_h(e, ref_pts, Gref, face_area):
         """J^{-T} Gref at each point + normal element size vol/area."""
-        V = mesh.vertices[mesh.elements[e]]           # (nv_el, sdim)
+        V = corner_coords[e]                          # (nv_el, sdim)
         # Q1 Jacobian at the ref points via finite differences of the Q1 map
         # (exact for multilinear within machine eps using central diffs)
         out = np.zeros_like(Gref)

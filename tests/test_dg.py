@@ -102,3 +102,54 @@ def test_conservation_interior():
     assert abs(m1 - m0) < 1e-10 * max(1.0, abs(m0)) + 1e-12 or abs(
         m1 - m0
     ) < 1e-8, (m0, m1)
+
+
+def test_periodic_advection_wraps():
+    """Periodic mesh: DG advection wraps around and returns after one period
+    (the ex9 periodic-square configuration)."""
+    import jax
+    from cardiac_ablation_ecm2_tpu.mesh import make_periodic_cartesian_2d
+
+    mesh = make_periodic_cartesian_2d(16, 3, 1.0, 0.25, periodic=(True, False))
+    assert mesh.nbe > 0              # y-walls remain, x is periodic
+    fes = L2FESpace(mesh, 1)
+
+    def vx(x):
+        v = np.zeros(np.asarray(x).shape[:-1] + (2,))
+        v[..., 0] = 1.0
+        return v
+
+    op = DGAdvection(fes, vx, inflow=lambda x: np.zeros(x.shape[:-1]))
+    solver = ode.select("rk3_ssp")
+
+    @jax.jit
+    def step(u, t, dt):
+        return solver.step(op, u, t, dt)
+
+    def u0(x):
+        x = np.asarray(x)
+        return np.exp(-((x[..., 0] - 0.5) ** 2) / 0.01)
+
+    u = project_l2(fes, u0)
+    gf = geom_factors_for(fes)
+    db = basis_for(fes)
+
+    def l2err(u):
+        q = eval_values(db, jnp.reshape(u, (mesh.ne, fes.nd_elem)))
+        ex = u0(np.asarray(gf.x))
+        return float(jnp.sqrt(jnp.sum(gf.wdet * (q - ex) ** 2)))
+
+    t, n = 0.0, 400
+    dt = 1.0 / n
+    for _ in range(n):                # exactly one period
+        u, t = step(u, t, dt)
+    err = l2err(u)
+    ref = float(jnp.sqrt(jnp.sum(gf.wdet * u0(np.asarray(gf.x)) ** 2)))
+    assert err < 0.25 * ref, (err, ref)   # pulse returned (upwind diffusion)
+    # mass exactly conserved (no open boundary in x)
+    q = eval_values(db, jnp.reshape(u, (mesh.ne, fes.nd_elem)))
+    m1 = float(jnp.sum(gf.wdet * q))
+    u0v = project_l2(fes, u0)
+    q0 = eval_values(db, jnp.reshape(u0v, (mesh.ne, fes.nd_elem)))
+    m0 = float(jnp.sum(gf.wdet * q0))
+    assert abs(m1 - m0) < 1e-9 * max(abs(m0), 1)
