@@ -107,3 +107,15 @@ def vertex_values(fes, u) -> np.ndarray:
         n = lookup[tuple(latt_v[lv])]
         out[mesh.elements[:, lv]] = u[fes.gather_map[:, n]]
     return out
+
+
+def write_pvd(path: str, entries) -> None:
+    """ParaView collection (.pvd) time series: entries = [(time, vtu_path)]
+    (ParaViewDataCollection time-series analog)."""
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?>\n<VTKFile type="Collection" '
+                'version="0.1">\n<Collection>\n')
+        for t, fn in entries:
+            f.write(f'<DataSet timestep="{t}" group="" part="0" '
+                    f'file="{fn}"/>\n')
+        f.write("</Collection>\n</VTKFile>\n")

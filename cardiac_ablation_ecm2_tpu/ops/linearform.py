@@ -70,6 +70,24 @@ def _bdr_geom(fes, nq1d, dtype_str):
     return gf, db
 
 
+def domain_lf_vector(fes, vec, nq1d: Optional[int] = None,
+                     dtype=None) -> jnp.ndarray:
+    """(f, v) for vector f on a vdim space → byNODES flat vector
+    (VectorDomainLFIntegrator, lininteg.hpp:267) — body forces etc."""
+    gf = geom_factors_for(fes, nq1d, dtype)
+    db = basis_for(fes, nq1d, dtype)
+    rt = real_t(dtype)
+    if callable(vec):
+        fq = jnp.asarray(vec(gf.x), rt)
+    else:
+        arr = jnp.asarray(vec, rt)
+        ne, nq = gf.det.shape
+        fq = jnp.broadcast_to(arr[None, None, :], (ne, nq, arr.shape[0]))
+    b_e = eval_values_t(db, gf.wdet[..., None] * fq)      # (ne, nd, vdim)
+    b = restriction_for(fes).mult_transpose(b_e)          # (ndof, vdim)
+    return b.T.reshape(-1)
+
+
 def boundary_lf_vector(
     fes, vec, bdr_marker=None, nq1d: Optional[int] = None, dtype=None
 ) -> jnp.ndarray:

@@ -61,3 +61,30 @@ def test_gridfunction_roundtrip(tmp_path):
     u2, order, vdim = load_gridfunction(fn)
     assert order == 3 and vdim == 1
     assert np.array_equal(np.asarray(u), np.asarray(u2))
+
+
+def test_pvd_series(tmp_path):
+    from cardiac_ablation_ecm2_tpu.io.vtu import write_pvd, write_vtu
+
+    mesh = make_cartesian_2d(2, 2)
+    entries = []
+    for k, t in enumerate((0.0, 0.5, 1.0)):
+        fn = str(tmp_path / f"s{k}.vtu")
+        write_vtu(mesh, fn)
+        entries.append((t, fn))
+    pvd = str(tmp_path / "series.pvd")
+    write_pvd(pvd, entries)
+    text = open(pvd).read()
+    assert text.count("<DataSet") == 3 and 'timestep="0.5"' in text
+
+
+def test_domain_lf_vector():
+    """(f, v) with constant f: sums to f·|Ω| per component."""
+    from cardiac_ablation_ecm2_tpu.ops.linearform import domain_lf_vector
+
+    mesh = make_cartesian_2d(3, 3)
+    fes = FESpace(mesh, 2, vdim=2)
+    b = domain_lf_vector(fes, np.array([2.0, -3.0]))
+    b2 = np.asarray(b).reshape(2, fes.ndof_scalar)
+    assert np.isclose(b2[0].sum(), 2.0, atol=1e-12)
+    assert np.isclose(b2[1].sum(), -3.0, atol=1e-12)
