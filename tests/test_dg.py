@@ -153,3 +153,23 @@ def test_periodic_advection_wraps():
     q0 = eval_values(db, jnp.reshape(u0v, (mesh.ne, fes.nd_elem)))
     m0 = float(jnp.sum(gf.wdet * q0))
     assert abs(m1 - m0) < 1e-9 * max(abs(m0), 1)
+
+
+def test_free_stream_tet_mesh():
+    """DG face machinery on tetrahedra (triangle faces, all orientations)."""
+    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_3d_tet
+
+    mesh = make_cartesian_3d_tet(2, 2, 2)
+    fes = L2FESpace(mesh, 1)
+
+    def vel3(x):
+        v = np.zeros(np.asarray(x).shape[:-1] + (3,))
+        v[..., 0] = 0.7
+        v[..., 1] = -0.4
+        v[..., 2] = 0.2
+        return v
+
+    op = DGAdvection(fes, vel3, inflow=lambda x: np.ones(x.shape[:-1]))
+    u1 = jnp.ones(fes.ndof)
+    r = np.asarray(op.rhs(u1))
+    assert np.abs(r).max() < 1e-12, np.abs(r).max()
