@@ -57,7 +57,9 @@ def setup_packed(gf: GeometricFactors, coeff_q=None) -> jnp.ndarray:
     A = adjugate(gf.jac)                                # stacked elementwise
     w_over_det = gf.w[None, :] / gf.det
     if coeff_q is not None:
-        if not hasattr(coeff_q, "ndim"):
+        if callable(coeff_q):
+            coeff_q = jnp.asarray(coeff_q(gf.x), A.dtype)
+        elif not hasattr(coeff_q, "ndim"):
             coeff_q = jnp.asarray(coeff_q, A.dtype)
         w_over_det = w_over_det * coeff_q
     d = A.shape[-1]
