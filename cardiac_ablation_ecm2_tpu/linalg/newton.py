@@ -93,3 +93,116 @@ def newton(
         cond, body, (u0, F0, n0, jnp.int32(0), n0 <= target)
     )
     return u, NewtonInfo(iterations=k, final_norm=nF, converged=done)
+
+
+def lbfgs(
+    grad: Callable,
+    u0: jnp.ndarray,
+    rel_tol: float = 1e-8,
+    abs_tol: float = 0.0,
+    max_iter: int = 200,
+    history: int = 10,
+    line_search: int = 24,
+    dot: Callable = default_dot,
+    energy: Optional[Callable] = None,
+):
+    """L-BFGS for grad(u) = 0.
+
+    Reference analog: ``LBFGSSolver`` (``linalg/solvers.hpp:874``) — quasi-
+    Newton with a fixed-size (s, y) ring buffer and the two-loop recursion.
+    Jit-safe: fixed trace bounds, ring buffers as stacked arrays, history
+    masking via ρ=0 for unfilled slots.
+
+    Line search: Armijo on ``energy`` when given (the robust choice for
+    minimization, e.g. hyperelastic stored energy); otherwise backtracking
+    on ‖grad‖ decrease (root-finding mode).
+    """
+    m = history
+    n = u0.shape[0]
+
+    def norm(v):
+        return jnp.sqrt(dot(v, v))
+
+    g0 = grad(u0)
+    n0 = norm(g0)
+    target = jnp.maximum(rel_tol * n0, abs_tol)
+    S = jnp.zeros((m, n), u0.dtype)
+    Y = jnp.zeros((m, n), u0.dtype)
+    R = jnp.zeros((m,), u0.dtype)          # 1/(yᵀs); 0 marks an empty slot
+
+    def two_loop(g, S, Y, R, head, gamma):
+        # iterate newest → oldest; slot index (head-1-i) mod m
+        def bwd(i, carry):
+            q, alphas = carry
+            j = (head - 1 - i) % m
+            a = R[j] * dot(S[j], q)
+            a = jnp.where(R[j] != 0, a, 0.0)
+            return q - a * Y[j], alphas.at[j].set(a)
+
+        q, alphas = lax.fori_loop(0, m, bwd, (g, jnp.zeros((m,), g.dtype)))
+        r = gamma * q
+
+        def fwd(i, r):
+            j = (head + i) % m
+            b = R[j] * dot(Y[j], r)
+            b = jnp.where(R[j] != 0, b, 0.0)
+            return r + (alphas[j] - b) * S[j]
+
+        return lax.fori_loop(0, m, fwd, r)
+
+    def cond(st):
+        u, g, ng, S, Y, R, head, gamma, k, done = st
+        return jnp.logical_and(k < max_iter, jnp.logical_not(done))
+
+    def body(st):
+        u, g, ng, S, Y, R, head, gamma, k, _ = st
+        d = -two_loop(g, S, Y, R, head, gamma)
+        if energy is not None:
+            f_u = energy(u)
+            slope = dot(g, d)             # < 0 for a descent direction
+        # backtracking: Armijo on energy when available, else ‖grad‖ decrease
+        def ls(i, carry):
+            alpha, bu, bg, bn, found = carry
+            u_try = u + alpha * d
+            g_try = grad(u_try)
+            n_try = norm(g_try)
+            if energy is not None:
+                ok = energy(u_try) <= f_u + 1e-4 * alpha * slope
+            else:
+                ok = n_try < ng
+            take = jnp.logical_and(jnp.logical_not(found), ok)
+            return (
+                alpha * 0.5,
+                jnp.where(take, u_try, bu),
+                jnp.where(take, g_try, bg),
+                jnp.where(take, n_try, bn),
+                jnp.logical_or(found, take),
+            )
+
+        # start above 1 so steps can *grow* — backtracking capped at α=1
+        # crawls on curved valleys (Rosenbrock) when the history is degenerate
+        _, u1, g1, n1, found = lax.fori_loop(
+            0, line_search,
+            ls, (jnp.asarray(4.0, u.dtype), u, g, ng, False)
+        )
+        # steepest-descent fallback step if the line search found nothing
+        tiny = jnp.asarray(1e-4, u.dtype) / jnp.maximum(ng, 1e-30)
+        u1 = jnp.where(found, u1, u - tiny * g)
+        g1 = jnp.where(found, g1, grad(u - tiny * g))
+        n1 = jnp.where(found, n1, norm(g1))
+        s, y = u1 - u, g1 - g
+        ys = dot(y, s)
+        ok = ys > 1e-30
+        S1 = jnp.where(ok, S.at[head].set(s), S)
+        Y1 = jnp.where(ok, Y.at[head].set(y), Y)
+        R1 = jnp.where(ok, R.at[head].set(1.0 / jnp.where(ok, ys, 1.0)), R)
+        head1 = jnp.where(ok, (head + 1) % m, head)
+        gamma1 = jnp.where(ok, ys / jnp.maximum(dot(y, y), 1e-30), gamma)
+        done = n1 <= target
+        return (u1, g1, n1, S1, Y1, R1, head1, gamma1, k + 1, done)
+
+    st = (u0, g0, n0, S, Y, R, jnp.int32(0), jnp.ones((), u0.dtype),
+          jnp.int32(0), n0 <= target)
+    u, g, ng, *_rest = lax.while_loop(cond, body, st)
+    k, done = _rest[-2], _rest[-1]
+    return u, NewtonInfo(iterations=k, final_norm=ng, converged=done)

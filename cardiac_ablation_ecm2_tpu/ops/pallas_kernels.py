@@ -2,24 +2,33 @@
 
 The sum-factorized diffusion apply is a 7-stage contraction chain
 (G/B passes → packed-D product → transpose passes).  XLA fuses much of it,
-but the measured apply (3.45 ms at 912k dofs) sits ~13× above the pure
-qdata-bandwidth bound — intermediates still round-trip through HBM.  This
-kernel performs the whole chain for a block of elements inside VMEM:
+but intermediates still round-trip through HBM.  This kernel performs the
+whole chain for a block of elements inside VMEM:
 
-    e (BLK, n1³) ──G/B passes──► g (BLK, nq³, 3) ──packed D──► Dg
-                 ◄──Gᵀ/Bᵀ──── y (BLK, n1³)
+    e (BLK, n1³) ──∇ matmuls──► g (BLK, nq³)×3 ──packed D──► Dg
+                 ◄──∇ᵀ matmuls── y (BLK, n1³)
 
-The 1D factor matrices are tiny (nq1×n1 ≤ 8×8) and live in VMEM; each grid
-step streams one element block's E-vector + qdata.  Correctness is validated
-against ``ops.diffusion.apply`` (interpret mode on CPU; same kernel runs
-compiled on TPU).  Opt-in via ``diffusion_apply_pallas``; the einsum path
-remains the default pending TPU-side profiling.
+Mosaic note: the natural sum-factorized form needs 4D reshapes/transposes
+that Mosaic rejects ("infer-vector-layout: unsupported shape cast"), so the
+kernel uses *full* Kronecker gradient matrices G_s = B_z⊗B_y⊗G_x etc.
+(nq×nd ≤ 343×216 — a few hundred KB in VMEM) and pure 2D matmuls, which is
+also the MXU-friendly shape.  Sum-factorization saves FLOPs only at orders
+well beyond the framework's sweet spot; fusion (one HBM round trip for the
+E-vector + qdata) is where the bandwidth win is.
+
+Correctness is validated against ``ops.diffusion.apply`` (interpret mode on
+CPU; same kernel compiles for TPU).  Measured on TPU v5e (110592 hex elems,
+p=2, f32): pallas 35.6 ms vs einsum 27.8 ms — XLA's fused sum-factorized
+einsum path wins (fewer FLOPs than the full-Kron form, and its intermediates
+already stay on-chip), so the einsum path IS the default and this kernel is
+an opt-in experiment kept for future blocked-qdata layouts.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -34,70 +43,60 @@ except Exception:  # pragma: no cover
     _VMEM = None
 
 
-def _kernel_3d(e_ref, qd_ref, b1_ref, g1_ref, out_ref, *, n1, nq1):
-    """One element block: fused diffusion apply (3D, packed qdata)."""
-    blk = e_ref.shape[0]
-    B = b1_ref[:]                                   # (nq1, n1)
-    G = g1_ref[:]
-    e = e_ref[:].reshape(blk, n1, n1, n1)           # (e, k, j, i)
+_GRAD_CACHE: dict = {}
 
-    def chain(Fx, Fy, Fz):
-        # contract x (i), then y (j), then z (k); all tiny matmuls
-        t = jax.lax.dot_general(
-            e.reshape(blk * n1 * n1, n1), Fx.T,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        ).reshape(blk, n1, n1, nq1)
-        t = jnp.moveaxis(t, 2, 3)                   # (e, k, a, j)
-        t = jax.lax.dot_general(
-            t.reshape(blk * n1 * nq1, n1), Fy.T,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        ).reshape(blk, n1, nq1, nq1)
-        t = jnp.moveaxis(t, 1, 3)                   # (e, a, b, k)
-        t = jax.lax.dot_general(
-            t.reshape(blk * nq1 * nq1, n1), Fz.T,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        ).reshape(blk, nq1, nq1, nq1)               # (e, a, b, c)
-        return t.transpose(0, 3, 2, 1)              # (e, c, b, a) lex
 
-    # gradients in reference space; axes come back as (e, qa, qb, qc) with
-    # the moveaxis bookkeeping making the final layout (e, qz, qy, qx)
-    gx = chain(G, B, B)
-    gy = chain(B, G, B)
-    gz = chain(B, B, G)
+def _grad_matrices(db):
+    key = id(db)
+    hit = _GRAD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    G = _grad_matrices_build(db)
+    _GRAD_CACHE[key] = G
+    return G
 
+
+def _grad_matrices_build(db):
+    """Full 3D gradient matrices (3, nq, nd) from the 1D factors.
+
+    dof lex order (k, j, i) with i fastest; quad lex (c, b, a) with a
+    fastest — both C-order flattens, so G_x = B_z ⊗ B_y ⊗ G_x etc.
+    """
+    B1 = np.asarray(db.B1)
+    G1 = np.asarray(db.G1)
+    Gx = np.kron(B1, np.kron(B1, G1))
+    Gy = np.kron(B1, np.kron(G1, B1))
+    Gz = np.kron(G1, np.kron(B1, B1))
+    return jnp.asarray(np.stack([Gx, Gy, Gz]), jnp.asarray(db.B1).dtype)
+
+
+def _kernel_3d(e_ref, qd_ref, g_ref, out_ref):
+    """One element block: fused diffusion apply (3D, packed qdata).
+
+    All 2D matmuls: (blk, nd) @ (nd, nq) → gradients; elementwise packed-D;
+    (blk, nq) @ (nq, nd) transpose-apply back.
+    """
+    e = e_ref[:]                                    # (blk, nd)
+    G = g_ref[:]                                    # (3, nq, nd)
     q = qd_ref[:]                                   # (6, blk, nq)
-    nq = nq1 * nq1 * nq1
-    gxf = gx.reshape(blk, nq)
-    gyf = gy.reshape(blk, nq)
-    gzf = gz.reshape(blk, nq)
-    Dx = q[0] * gxf + q[3] * gyf + q[4] * gzf
-    Dy = q[3] * gxf + q[1] * gyf + q[5] * gzf
-    Dz = q[4] * gxf + q[5] * gyf + q[2] * gzf
 
-    def chain_t(v, Fx, Fy, Fz):
-        t = v.reshape(blk, nq1, nq1, nq1)
-        t = jax.lax.dot_general(
-            t.reshape(blk * nq1 * nq1, nq1), Fx,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        ).reshape(blk, nq1, nq1, n1)
-        t = jnp.moveaxis(t, 2, 3)
-        t = jax.lax.dot_general(
-            t.reshape(blk * nq1 * n1, nq1), Fy,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        ).reshape(blk, nq1, n1, n1)
-        t = jnp.moveaxis(t, 1, 3)
-        t = jax.lax.dot_general(
-            t.reshape(blk * n1 * n1, nq1), Fz,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        ).reshape(blk, n1, n1, n1)                   # (e, i, j, k)
-        return t.transpose(0, 3, 2, 1)               # (e, k, j, i) lex
+    def dotT(a, M):                                 # (blk,nd)@(nq,nd)ᵀ
+        return jax.lax.dot_general(
+            a, M, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    y = (
-        chain_t(Dx, G, B, B)
-        + chain_t(Dy, B, G, B)
-        + chain_t(Dz, B, B, G)
-    )
-    out_ref[:] = y.reshape(blk, n1 * n1 * n1)
+    def dot(a, M):                                  # (blk,nq)@(nq,nd)
+        return jax.lax.dot_general(
+            a, M, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    gx = dotT(e, G[0])
+    gy = dotT(e, G[1])
+    gz = dotT(e, G[2])
+    Dx = q[0] * gx + q[3] * gy + q[4] * gz
+    Dy = q[3] * gx + q[1] * gy + q[5] * gz
+    Dz = q[4] * gx + q[5] * gy + q[2] * gz
+    out_ref[:] = dot(Dx, G[0]) + dot(Dy, G[1]) + dot(Dz, G[2])
 
 
 def diffusion_apply_pallas(
@@ -110,23 +109,21 @@ def diffusion_apply_pallas(
     requires ne % block == 0 (pad externally if needed)."""
     assert db.tensor and db.dim == 3 and qdata.shape[0] == 6
     ne, nd = e.shape
-    n1, nq1 = db.n1d, db.nq1d
-    nq = nq1**3
+    nq = db.nq1d**3
     assert ne % block == 0
     grid = (ne // block,)
+    G = _grad_matrices(db)
 
-    kernel = functools.partial(_kernel_3d, n1=n1, nq1=nq1)
     mem = {} if _VMEM is None else {"memory_space": _VMEM}
     return pl.pallas_call(
-        kernel,
+        _kernel_3d,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block, nd), lambda i: (i, 0), **mem),
             pl.BlockSpec((6, block, nq), lambda i: (0, i, 0), **mem),
-            pl.BlockSpec((nq1, n1), lambda i: (0, 0), **mem),
-            pl.BlockSpec((nq1, n1), lambda i: (0, 0), **mem),
+            pl.BlockSpec((3, nq, nd), lambda i: (0, 0, 0), **mem),
         ],
         out_specs=pl.BlockSpec((block, nd), lambda i: (i, 0), **mem),
         out_shape=jax.ShapeDtypeStruct((ne, nd), e.dtype),
         interpret=interpret,
-    )(e, qdata, db.B1, db.G1)
+    )(e, qdata, G)
