@@ -23,13 +23,13 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..mesh.ncmesh import NCQuadMesh
 from ..utils.config import index_t, real_t
 from ..utils.native import encode_rows
 from .basis import h1_nodes_1d, lagrange_matrices
 from .fespace import (
     FESpace,
     _EDGE,
+    _FACE,
     _KEYLEN,
     _VERT,
     _elem_node_keys,
@@ -46,6 +46,25 @@ def _edge_key(a, b, t):
     return [int(lo), int(hi), -1, -1, _meta(_EDGE, t)]
 
 
+def _face_key(gf_cyc, uv, p):
+    """Canonical quad-face node key: (u, v) in the caller's frame (u along
+    corner0→1, v along corner0→3) mapped to the min-id-origin,
+    smaller-neighbor-direction frame — must match _elem_node_keys exactly."""
+    gf = [int(x) for x in gf_cyc]
+    gsort = sorted(gf)
+    r = gf.index(min(gf))
+    nxt, prv = gf[(r + 1) % 4], gf[(r - 1) % 4]
+    d = 1 if nxt < prv else -1
+    corner_uv = [(0, 0), (p, 0), (p, p), (0, p)]
+    cr = np.array(corner_uv[r])
+    eu = (np.array(corner_uv[(r + d) % 4]) - cr) // p
+    ev = (np.array(corner_uv[(r - d) % 4]) - cr) // p
+    rel = np.array(uv) - cr
+    a = int((rel * eu).sum())
+    b = int((rel * ev).sum())
+    return [gsort[0], gsort[1], gsort[2], gsort[3], _meta(_FACE, a, b)]
+
+
 def _sigma_on_master(mesh, v, lo, hi):
     return _sigma_pos(mesh, mesh.vertices[v], lo, hi)
 
@@ -57,7 +76,7 @@ def _sigma_pos(mesh, pos, lo, hi):
 
 @dataclasses.dataclass(eq=False)
 class NCFESpace:
-    nc: NCQuadMesh
+    nc: object                 # NCQuadMesh or NCHexMesh
     order: int
 
     def __post_init__(self):
@@ -101,6 +120,82 @@ class NCFESpace:
                     queries.append(_edge_key(clo, chi, t))
             per_con.append((m_slots, s_list))
 
+        # --- face constraints (hex meshes): 2D tensor interpolation of all
+        # fine dofs on a master face from its (p+1)² dof grid ---
+        per_face = []   # (grid_slots[(p+1)²], [(slave_slot, σu, σv), …])
+        face_cons = getattr(self.nc, "face_constraints", None)
+        if face_cons is not None and len(face_cons):
+            pos = {}
+            for i, pnt in enumerate(mesh.vertices):
+                pos.setdefault(tuple(pnt), i)
+
+            def midv(x, y):
+                return pos[tuple(0.5 * (mesh.vertices[x] + mesh.vertices[y]))]
+
+            for (c, A, B, C, D) in face_cons:
+                c, A, B, C, D = int(c), int(A), int(B), int(C), int(D)
+                mAB, mBC = midv(A, B), midv(B, C)
+                mCD, mDA = midv(C, D), midv(D, A)
+                # master grid keys, index g = u*(p+1)+v; u along A→B, v A→D
+                grid_slots = []
+                for u in range(p + 1):
+                    for v in range(p + 1):
+                        if (u, v) == (0, 0):
+                            k = _vert_key(A)
+                        elif (u, v) == (p, 0):
+                            k = _vert_key(B)
+                        elif (u, v) == (p, p):
+                            k = _vert_key(C)
+                        elif (u, v) == (0, p):
+                            k = _vert_key(D)
+                        elif v == 0:
+                            k = _edge_key(A, B, u if A < B else p - u)
+                        elif u == p:
+                            k = _edge_key(B, C, v if B < C else p - v)
+                        elif v == p:
+                            k = _edge_key(D, C, u if D < C else p - u)
+                        elif u == 0:
+                            k = _edge_key(A, D, v if A < D else p - v)
+                        else:
+                            k = _face_key((A, B, C, D), (u, v), p)
+                        grid_slots.append(len(queries))
+                        queries.append(k)
+
+                s_list = [(len(queries), 0.5, 0.5)]
+                queries.append(_vert_key(c))
+                # interior nodes of the 4 internal child edges
+                for (m, su, sv, du, dv) in (
+                    (mAB, 0.5, 0.0, 0.0, 0.5),   # mAB → c
+                    (mBC, 1.0, 0.5, -0.5, 0.0),  # mBC → c
+                    (mCD, 0.5, 1.0, 0.0, -0.5),  # mCD → c
+                    (mDA, 0.0, 0.5, 0.5, 0.0),   # mDA → c
+                ):
+                    for t in range(1, p):
+                        f = nodes1d[t]
+                        s_list.append(
+                            (len(queries), su + f * du, sv + f * dv)
+                        )
+                        s_t = t if m < c else p - t
+                        queries.append(_edge_key(m, c, s_t))
+                # interior nodes of the 4 child faces; corner params (σu,σv)
+                for ids, P in (
+                    ((A, mAB, c, mDA), ((0, 0), (.5, 0), (.5, .5), (0, .5))),
+                    ((mAB, B, mBC, c), ((.5, 0), (1, 0), (1, .5), (.5, .5))),
+                    ((c, mBC, C, mCD), ((.5, .5), (1, .5), (1, 1), (.5, 1))),
+                    ((mDA, c, mCD, D), ((0, .5), (.5, .5), (.5, 1), (0, 1))),
+                ):
+                    P0 = np.array(P[0], dtype=float)
+                    eu = np.array(P[1], dtype=float) - P0
+                    ev = np.array(P[3], dtype=float) - P0
+                    for i in range(1, p):
+                        for j in range(1, p):
+                            sig = P0 + nodes1d[i] * eu + nodes1d[j] * ev
+                            s_list.append(
+                                (len(queries), float(sig[0]), float(sig[1]))
+                            )
+                            queries.append(_face_key(ids, (i, j), p))
+                per_face.append((grid_slots, s_list))
+
         if queries:
             _, _, qids = encode_rows(
                 main_keys, np.asarray(queries, dtype=np.int64)
@@ -113,6 +208,17 @@ class NCFESpace:
                 s = int(qids[slot])
                 W, _ = lagrange_matrices(nodes1d, np.array([sigma]))
                 rows[s] = list(zip(masters, W[0]))
+        for (grid_slots, s_list) in per_face:
+            masters = [int(qids[i]) for i in grid_slots]
+            for (slot, su, sv) in s_list:
+                s = int(qids[slot])
+                Wu, _ = lagrange_matrices(nodes1d, np.array([su]))
+                Wv, _ = lagrange_matrices(nodes1d, np.array([sv]))
+                w2 = np.outer(Wu[0], Wv[0]).reshape(-1)   # g = u*(p+1)+v
+                rows[s] = [
+                    (masters[g], w2[g])
+                    for g in range(len(masters)) if abs(w2[g]) > 1e-14
+                ]
 
         # resolve chained constraints (slave's master itself slave)
         for _ in range(32):
