@@ -49,3 +49,34 @@ def rcb(points: np.ndarray, nparts: int) -> np.ndarray:
 def partition_mesh(mesh, nparts: int) -> np.ndarray:
     """(ne,) part id per element."""
     return rcb(element_centroids(mesh), nparts)
+
+
+def rcb_weighted(points: np.ndarray, weights: np.ndarray,
+                 nparts: int) -> np.ndarray:
+    """Weighted RCB: split positions chosen so each side's total *weight* is
+    proportional to its part count — the load-balance primitive behind
+    rebalancing (ParNCMesh::Rebalance analog; weights = per-element cost)."""
+    n = len(points)
+    weights = np.asarray(weights, dtype=np.float64)
+    parts = np.zeros(n, dtype=np.int64)
+
+    def rec(idx: np.ndarray, lo_part: int, np_parts: int):
+        if np_parts == 1:
+            parts[idx] = lo_part
+            return
+        nleft_parts = np_parts // 2
+        nright_parts = np_parts - nleft_parts
+        pts = points[idx]
+        extent = pts.max(axis=0) - pts.min(axis=0)
+        axis = int(np.argmax(extent))
+        order = np.argsort(pts[:, axis], kind="stable")
+        w = weights[idx][order]
+        cum = np.cumsum(w)
+        target = cum[-1] * nleft_parts / np_parts
+        nleft = int(np.searchsorted(cum, target)) + 1
+        nleft = min(max(nleft, 1), len(idx) - 1)
+        rec(idx[order[:nleft]], lo_part, nleft_parts)
+        rec(idx[order[nleft:]], lo_part + nleft_parts, nright_parts)
+
+    rec(np.arange(n), 0, nparts)
+    return parts
