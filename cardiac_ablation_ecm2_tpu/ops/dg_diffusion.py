@@ -155,3 +155,113 @@ class DGDiffusion:
     def operator(self) -> LinearOperator:
         n = self.fes.ndof
         return LinearOperator((n, n), self.mult, self.diagonal)
+
+
+@dataclasses.dataclass(eq=False)
+class DGDiffusionBR2(DGDiffusion):
+    """BR2 (Bassi–Rebay 2) stabilized DG diffusion.
+
+    Reference analog: ``DGDiffusionBR2Integrator`` (``fem/bilininteg.hpp``).
+    Replaces the SIPG penalty (ακ/h)∮[u][v] by the lifted term
+    η Σ_F ∫ r_F([u])·r_F([v]) with the per-face lifting
+    ∫ r·τ = −∮_F [u]{τ·n}; matrix-free as
+    η b(v)ᵀ M⁻¹ b(u) with per-element mass inverses (batched).
+    Coercivity needs η > max faces per element; default η = nfaces + 1.
+    """
+
+    eta: Optional[float] = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        fes, mesh = self.fes, self.fes.mesh
+        rt = real_t(self.dtype)
+        from ..fem.geometry import FACES
+        if self.eta is None:
+            self.eta = float(len(FACES[mesh.geom]) + 1)
+
+        # batched element mass inverses (DGMassInverse analog)
+        from . import mass as _mmod
+        gf = geom_factors_for(fes, self.nq1d, self.dtype)
+        d2q = fes.d2q if self.nq1d is None else fes.dof_to_quad(self.nq1d)
+        B = d2q.full_B()
+        qd = np.asarray(_mmod.setup(gf))
+        Me = np.einsum("qm,eq,qn->emn", B, qd, B)
+        self.Minv = jnp.asarray(np.linalg.inv(Me), rt)
+
+        fd = build_face_data(mesh, fes.order, self.nq1d, with_gradients=True)
+        self.nrm = jnp.asarray(fd.normal, rt)            # (nfi, nqf, sdim)
+        self.bnrm = jnp.asarray(fd.b_normal, rt)
+
+        # SIPG penalty arrays are reused only by the (approximate) Jacobi
+        # diagonal; keep them at the BR2-equivalent strength
+        self.pen = jnp.asarray(
+            self.eta * self.kappa
+            / (2.0 / (1.0 / np.asarray(fd.h0) + 1.0 / np.asarray(fd.h1))),
+            rt,
+        )
+        self.bpen = jnp.asarray(self.eta * self.kappa / fd.b_h, rt)
+
+    def _lift_apply(self, jump, B0, B1, e0, e1, w, nrm, half):
+        """y-contribution of η b(v)ᵀ M⁻¹ b(u) for one face batch.
+
+        jump (nf, nq); returns per-side scatter values (nf, nq) to be
+        contracted with B0/B1 (sign + for side0, − for side1)."""
+        fac = -0.5 if half else -1.0
+        wj = w * jump                                     # (nf, nq)
+        rhs0 = fac * jnp.einsum("fqn,fq,fqs->fns", B0, wj, nrm)
+        t0 = jnp.einsum("fmn,fns->fms", self.Minv[e0], rhs0)
+        tn0 = jnp.einsum("fqn,fns,fqs->fq", B0, t0, nrm)
+        tn = tn0
+        if B1 is not None:
+            rhs1 = fac * jnp.einsum("fqn,fq,fqs->fns", B1, wj, nrm)
+            t1 = jnp.einsum("fmn,fns->fms", self.Minv[e1], rhs1)
+            tn = tn + jnp.einsum("fqn,fns,fqs->fq", B1, t1, nrm)
+        return self.eta * self.kappa * fac * w * tn       # (nf, nq)
+
+    def mult(self, u_flat: jnp.ndarray) -> jnp.ndarray:
+        ne, nd = self.ne, self.fes.nd_elem
+        u = u_flat.reshape(ne, nd)
+        y = dmod.apply(self.db, self.vol_qd, u)
+
+        u0 = jnp.einsum("fqn,fn->fq", self.B0, u[self.e0])
+        u1 = jnp.einsum("fqn,fn->fq", self.B1, u[self.e1])
+        du0 = jnp.einsum("fqn,fn->fq", self.N0, u[self.e0])
+        du1 = jnp.einsum("fqn,fn->fq", self.N1, u[self.e1])
+        jump = u0 - u1
+        t = self.w_f * 0.5 * (du0 + du1)
+        y = y.at[self.e0].add(-jnp.einsum("fqn,fq->fn", self.B0, t))
+        y = y.at[self.e1].add(jnp.einsum("fqn,fq->fn", self.B1, t))
+        s = 0.5 * self.w_f * jump
+        y = y.at[self.e0].add(-jnp.einsum("fqn,fq->fn", self.N0, s))
+        y = y.at[self.e1].add(-jnp.einsum("fqn,fq->fn", self.N1, s))
+        # BR2 stabilization
+        z = self._lift_apply(jump, self.B0, self.B1, self.e0, self.e1,
+                             self.w_f, self.nrm, half=True)
+        y = y.at[self.e0].add(jnp.einsum("fqn,fq->fn", self.B0, z))
+        y = y.at[self.e1].add(-jnp.einsum("fqn,fq->fn", self.B1, z))
+
+        # boundary (weak Dirichlet, u⁺ ≡ 0)
+        ub = jnp.einsum("fqn,fn->fq", self.bB, u[self.be])
+        dub = jnp.einsum("fqn,fn->fq", self.bN, u[self.be])
+        zb = self._lift_apply(ub, self.bB, None, self.be, None,
+                              self.bw, self.bnrm, half=False)
+        y = y.at[self.be].add(
+            -jnp.einsum("fqn,fq->fn", self.bB, self.bw * dub)
+            - jnp.einsum("fqn,fq->fn", self.bN, self.bw * ub)
+            + jnp.einsum("fqn,fq->fn", self.bB, zb)
+        )
+        return y.reshape(-1)
+
+    def dirichlet_rhs(self, g: Callable) -> jnp.ndarray:
+        """Weak Dirichlet RHS: −∮ κ∇v·n g + η b(v)ᵀM⁻¹b(g)."""
+        gq = jnp.asarray(g(self.b_xq), self.bw.dtype)
+        zg = self._lift_apply(gq, self.bB, None, self.be, None,
+                              self.bw, self.bnrm, half=False)
+        b = (
+            -jnp.einsum("fqn,fq->fn", self.bN, self.bw * gq)
+            + jnp.einsum("fqn,fq->fn", self.bB, zg)
+        )
+        ne, nd = self.ne, self.fes.nd_elem
+        out = jnp.zeros((ne, nd), dtype=self.bw.dtype)
+        out = out.at[self.be].add(b)
+        return out.reshape(-1)
