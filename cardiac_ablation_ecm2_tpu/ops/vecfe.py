@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fem.fe_vector import NDSpace, RTSpace, nd0_basis, rt0_basis
+from ..fem.fe_vector_ho import nd_basis_ho, rt_basis_ho
 from ..fem.fespace import element_node_coords
 from ..fem.basis import make_dof_to_quad
 from ..fem.geom_factors import adjugate, compute_geometric_factors
@@ -107,7 +108,10 @@ def build_nd_operator(
     mesh = space.mesh
     rt = real_t(dtype)
     gf = _geom(mesh, nq1d, dtype)
-    pts, Bref, Cref = nd0_basis(mesh.geom, nq1d)
+    if getattr(space, "kind", None) == "nd" and space.order >= 1:
+        pts, Bref, Cref = nd_basis_ho(mesh.geom, space.order, nq1d)
+    else:
+        pts, Bref, Cref = nd0_basis(mesh.geom, nq1d)
     J, det = gf.jac, gf.det
     A = adjugate(J)
     terms = []
@@ -152,7 +156,10 @@ def build_rt_operator(
     mesh = space.mesh
     rt = real_t(dtype)
     gf = _geom(mesh, nq1d, dtype)
-    pts, Bref, Dref = rt0_basis(mesh.geom, nq1d)
+    if getattr(space, "kind", None) == "rt":
+        pts, Bref, Dref = rt_basis_ho(mesh.geom, space.order - 1, nq1d)
+    else:
+        pts, Bref, Dref = rt0_basis(mesh.geom, nq1d)
     J, det = gf.jac, gf.det
     terms = []
     if mass_coeff is not None:
