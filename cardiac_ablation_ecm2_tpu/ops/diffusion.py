@@ -126,14 +126,17 @@ def _is_packed(qdata, dim):
 def apply(db: DeviceBasis, qdata: jnp.ndarray, u_e: jnp.ndarray) -> jnp.ndarray:
     """(ne, nd[, c]) → (ne, nd[, c]): Gᵀ (D · (G u)); accepts full (…,d,d)
     or packed symmetric qdata (see pack_sym)."""
-    g = eval_grad(db, u_e)                             # (ne, nq, dim[, c])
-    if _is_packed(qdata, db.dim):
-        Dg = _apply_packed(qdata, g)
-    elif u_e.ndim > 2:
-        Dg = jnp.einsum("eqab,eqb...->eqa...", qdata, g)
-    else:
-        Dg = jnp.einsum("eqab,eqb->eqa", qdata, g)
-    return eval_grad_t(db, Dg)
+    import jax
+
+    with jax.named_scope("diffusion-apply"):
+        g = eval_grad(db, u_e)                         # (ne, nq, dim[, c])
+        if _is_packed(qdata, db.dim):
+            Dg = _apply_packed(qdata, g)
+        elif u_e.ndim > 2:
+            Dg = jnp.einsum("eqab,eqb...->eqa...", qdata, g)
+        else:
+            Dg = jnp.einsum("eqab,eqb->eqa", qdata, g)
+        return eval_grad_t(db, Dg)
 
 
 def diagonal(db: DeviceBasis, qdata: jnp.ndarray) -> jnp.ndarray:

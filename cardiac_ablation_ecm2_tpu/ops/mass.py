@@ -30,12 +30,15 @@ def setup(gf: GeometricFactors, coeff_q=None) -> jnp.ndarray:
 
 def apply(db: DeviceBasis, qdata: jnp.ndarray, u_e: jnp.ndarray) -> jnp.ndarray:
     """(ne, nd[, c]) → (ne, nd[, c]): Bᵀ diag(qdata) B u."""
-    v = eval_values(db, u_e)
-    if u_e.ndim > 2:
-        v = v * qdata[..., None]
-    else:
-        v = v * qdata
-    return eval_values_t(db, v)
+    import jax
+
+    with jax.named_scope("mass-apply"):
+        v = eval_values(db, u_e)
+        if u_e.ndim > 2:
+            v = v * qdata[..., None]
+        else:
+            v = v * qdata
+        return eval_values_t(db, v)
 
 
 def diagonal(db: DeviceBasis, qdata: jnp.ndarray) -> jnp.ndarray:
