@@ -133,3 +133,78 @@ def boundary_lf(
         q = q * mask[:, None]
     b_e = eval_values_t(db, q)
     return bdr_restriction_for(fes).mult_transpose(b_e)
+
+
+def domain_lf_grad(fes, vec, nq1d: Optional[int] = None,
+                   dtype=None) -> jnp.ndarray:
+    """(f, ∇v) for a vector coefficient f → L-vector
+    (DomainLFGradIntegrator, lininteg.hpp:151).
+
+    ∫ f·∇v = Σ_q w ĝᵀ (adj(J) pullback of f) — validated against the
+    diffusion operator identity (f = ∇u ⇒ (f,∇v) = a(u,v))."""
+    from ..fem.geom_factors import adjugate
+
+    gf = geom_factors_for(fes, nq1d, dtype)
+    db = basis_for(fes, nq1d, dtype)
+    rt = real_t(dtype)
+    if callable(vec):
+        fq = jnp.asarray(vec(gf.x), rt)                  # (ne, nq, sdim)
+    else:
+        arr = jnp.asarray(vec, rt)
+        ne, nq = gf.det.shape
+        fq = jnp.broadcast_to(arr[None, None, :], (ne, nq, arr.shape[0]))
+    A = adjugate(gf.jac)                                 # J⁻¹ det
+    # (J⁻¹ f)·ĝ scaled by w·det /det → q[e,q,d] = w · Σ_s adj[d,s] f_s
+    q = jnp.einsum("eqds,eqs->eqd", jnp.swapaxes(A, -1, -2),
+                   fq) * jnp.asarray(gf.w, rt)[None, :, None]
+    b_e = eval_grad_t(db, q)
+    return restriction_for(fes).mult_transpose(b_e)
+
+
+def boundary_normal_lf(
+    fes, vec, bdr_marker=None, nq1d: Optional[int] = None, dtype=None
+) -> jnp.ndarray:
+    """∮ (f·n) v over marked boundary faces with the *outward* unit normal
+    (BoundaryNormalLFIntegrator, lininteg.hpp:224)."""
+    mesh = fes.mesh
+    rt = real_t(dtype)
+    if mesh.nbe == 0:
+        return jnp.zeros(fes.ndof, dtype=rt)
+    gf, db = _bdr_geom(fes, nq1d, str(rt))
+    J = np.asarray(gf.jac)                               # (nbe, nq, sdim, dim-1)
+    if mesh.dim == 3:
+        n = np.cross(J[..., 0], J[..., 1])               # area-weighted
+    else:
+        t = J[..., 0]
+        n = np.stack([t[..., 1], -t[..., 0]], axis=-1)
+    n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+    # outward sign: dot with (face point − adjacent element centroid)
+    vmap = {}
+    for e in range(mesh.ne):
+        for v in mesh.elements[e]:
+            vmap.setdefault(int(v), e)
+    cent = mesh.vertices[mesh.elements].mean(axis=1)
+    for f in range(mesh.nbe):
+        e = vmap[int(mesh.boundary[f, 0])]
+        # find an element containing ALL face vertices
+        cand = [vmap.get(int(v)) for v in mesh.boundary[f]]
+        es = set(c for c in cand if c is not None)
+        for c in sorted(es):
+            if set(int(v) for v in mesh.boundary[f]).issubset(
+                set(int(v) for v in mesh.elements[c])
+            ):
+                e = c
+                break
+        out = np.asarray(gf.x[f]).mean(axis=0) - cent[e]
+        if np.dot(n[f].mean(axis=0), out) < 0:
+            n[f] = -n[f]
+    if callable(vec):
+        fq = np.asarray(vec(np.asarray(gf.x)))           # (nbe, nq, sdim)
+    else:
+        fq = np.broadcast_to(np.asarray(vec), n.shape)
+    q = jnp.asarray((fq * n).sum(axis=-1), rt) * gf.wdet
+    if bdr_marker is not None:
+        sel = np.isin(mesh.bdr_attributes, np.asarray(list(bdr_marker)))
+        q = q * jnp.asarray(sel.astype(float), rt)[:, None]
+    b_e = eval_values_t(db, q)
+    return bdr_restriction_for(fes).mult_transpose(b_e)

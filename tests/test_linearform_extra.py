@@ -1,0 +1,67 @@
+"""Extra linear-form integrators: (f,∇v) and (f·n, v)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cardiac_ablation_ecm2_tpu.fem import FESpace
+from cardiac_ablation_ecm2_tpu.fem.gridfunction import project
+from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_2d, make_cartesian_3d
+from cardiac_ablation_ecm2_tpu.ops import BilinearForm
+from cardiac_ablation_ecm2_tpu.ops.linearform import (
+    boundary_normal_lf,
+    domain_lf_grad,
+)
+
+
+def test_domain_lf_grad_identity_3d():
+    """f = ∇u with u in the space ⇒ (f, ∇v) == (∇u, ∇v) = A u."""
+    mesh = make_cartesian_3d(3, 3, 3)
+    fes = FESpace(mesh, 2)
+
+    def u_ex(x):
+        return x[..., 0] ** 2 + 0.5 * x[..., 1] * x[..., 2] - x[..., 2]
+
+    def grad_u(x):
+        return np.stack([
+            2 * x[..., 0],
+            0.5 * x[..., 2],
+            0.5 * x[..., 1] - 1.0,
+        ], axis=-1)
+
+    u = project(fes, u_ex)
+    A = BilinearForm(fes).add_domain_integrator("diffusion").assemble()
+    b1 = np.asarray(A.mult(u))
+    b2 = np.asarray(domain_lf_grad(fes, grad_u))
+    assert np.abs(b1 - b2).max() < 1e-10 * np.abs(b1).max()
+
+
+def test_domain_lf_grad_constant_2d():
+    """Constant f: (f,∇v) sums to 0 over all dofs (∇ of partition of unity)."""
+    mesh = make_cartesian_2d(4, 4)
+    fes = FESpace(mesh, 3)
+    b = np.asarray(domain_lf_grad(fes, np.array([1.0, -2.0])))
+    assert abs(b.sum()) < 1e-12
+    # divergence theorem: Σ_i b_i φ_i with v=x gives ∫ f·(1,0) = f_x |Ω|
+    x = np.asarray(project(fes, lambda p: p[..., 0]))
+    assert np.isclose(float(b @ x), 1.0, atol=1e-10)
+
+
+def test_boundary_normal_lf_divergence_theorem():
+    """v ≡ 1: ∮ f·n = ∫ div f; take f = (x, y, z) ⇒ ∮ f·n = 3|Ω| = 3."""
+    mesh = make_cartesian_3d(2, 2, 2)
+    fes = FESpace(mesh, 2)
+    b = np.asarray(boundary_normal_lf(fes, lambda x: np.asarray(x)))
+    assert np.isclose(b.sum(), 3.0, atol=1e-10), b.sum()
+
+
+def test_boundary_normal_lf_marker_2d():
+    """f = (1,0), only the x=1 side marked: ∮ f·n = length = 1."""
+    mesh = make_cartesian_2d(3, 3)
+    fes = FESpace(mesh, 2)
+    # cartesian 2D bdr attributes: 1=bottom,2=right,3=top,4=left
+    b = np.asarray(boundary_normal_lf(fes, np.array([1.0, 0.0]),
+                                      bdr_marker=(2,)))
+    assert np.isclose(b.sum(), 1.0, atol=1e-10), b.sum()
+    b4 = np.asarray(boundary_normal_lf(fes, np.array([1.0, 0.0]),
+                                       bdr_marker=(4,)))
+    assert np.isclose(b4.sum(), -1.0, atol=1e-10), b4.sum()
