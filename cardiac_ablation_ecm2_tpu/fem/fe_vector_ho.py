@@ -371,6 +371,49 @@ class VectorFESpaceHO:
         self.signs = signs
         self._dofs = dofs
         self._k = k
+        self._keys = keys                      # kept for essential-dof lookup
+
+    def essential_dofs(self, bdr_marker=None) -> np.ndarray:
+        """Dofs with nonzero boundary trace: tangential (ND) / normal (RT).
+
+        ND: every edge/face dof whose entity lies on a marked boundary face
+        (all its dofs are tangential there).  RT: face (3D) / edge (2D) dofs
+        on marked boundary faces.  Analog of
+        ``FiniteElementSpace::GetEssentialTrueDofs`` for ND/RT spaces."""
+        mesh = self.mesh
+        if mesh.nbe == 0:
+            return np.zeros(0, dtype=np.int32)
+        if bdr_marker is None:
+            sel = np.ones(mesh.nbe, dtype=bool)
+        else:
+            sel = np.isin(mesh.bdr_attributes, np.asarray(list(bdr_marker)))
+        bfaces = mesh.boundary[sel]
+        bface_set = set(map(tuple, np.sort(bfaces, axis=1)))
+        bedge_set = set()
+        nvf = bfaces.shape[1]
+        for f in bfaces:
+            for i in range(nvf):
+                a, b = int(f[i]), int(f[(i + 1) % nvf])
+                bedge_set.add((min(a, b), max(a, b)))
+            if nvf == 2:                       # 2D: the "face" is the edge
+                a, b = int(f[0]), int(f[1])
+                bedge_set.add((min(a, b), max(a, b)))
+        keys = self._keys
+        etype = keys[..., 4] >> 48
+        ess = set()
+        ne, ndl = self.gather_map.shape
+        for e in range(ne):
+            for n in range(ndl):
+                t = int(etype[e, n])
+                if t == _EDGE:
+                    ent = (int(keys[e, n, 0]), int(keys[e, n, 1]))
+                    if ent in bedge_set:
+                        ess.add(int(self.gather_map[e, n]))
+                elif t == _FACE:
+                    ent = tuple(int(x) for x in keys[e, n, 0:4])
+                    if ent in bface_set:
+                        ess.add(int(self.gather_map[e, n]))
+        return np.array(sorted(ess), dtype=np.int32)
 
     # -- helpers ----------------------------------------------------------
     def _face_tangential(self, keys, signs, n, elems, fverts, au, su, av, sv,
