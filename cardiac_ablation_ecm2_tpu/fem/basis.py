@@ -101,6 +101,15 @@ def lattice_multi_index(geom: Geometry, p: int) -> np.ndarray:
             for i in range(p + 1 - j - k)
         ]
         return np.array(out, dtype=np.int64)
+    if geom == Geometry.PRISM:
+        # triangle lattice × segment (wedge, fem/fe/fe_h1.cpp H1_WedgeElement)
+        out = [
+            (i, j, k)
+            for k in range(p + 1)
+            for j in range(p + 1)
+            for i in range(p + 1 - j)
+        ]
+        return np.array(out, dtype=np.int64)
     raise ValueError(f"unsupported geometry {geom}")
 
 
@@ -111,6 +120,11 @@ def h1_nodes(geom: Geometry, p: int) -> np.ndarray:
     if IS_TENSOR.get(geom, False) or geom == Geometry.SEGMENT:
         x1 = h1_nodes_1d(p)
         return x1[mi]
+    if geom == Geometry.PRISM:
+        # triangle part equispaced, vertical GLL
+        xy = mi[:, :2].astype(np.float64) / max(p, 1)
+        z = h1_nodes_1d(p)[mi[:, 2]]
+        return np.concatenate([xy, z[:, None]], axis=1)
     # simplices: equispaced lattice
     return mi.astype(np.float64) / max(p, 1)
 
@@ -219,6 +233,12 @@ def make_dof_to_quad(
         return DofToQuad(
             geom=geom, order=p, tensor=True, points=pts, weights=wts, B1=B1, G1=G1
         )
+    if geom == Geometry.PRISM:
+        pts, wts = prism_rule(nq1d)
+        B, G = prism_basis_matrices(p, pts, nodes_1d)
+        return DofToQuad(
+            geom=geom, order=p, tensor=False, points=pts, weights=wts, B=B, G=G
+        )
     # simplex dense path
     qorder = 2 * nq1d - 1
     pts, wts = simplex_rule(dim, qorder)
@@ -259,4 +279,46 @@ def simplex_basis_matrices(
             dV *= pts[:, e][:, None] ** dmi[:, e][None, :]
         dV *= pw[None, :]
         G[:, :, d] = dV @ C
+    return B, G
+
+
+@functools.lru_cache(maxsize=None)
+def prism_rule(nq1d: int):
+    """Wedge quadrature: triangle conical rule × 1D Gauss (nq2·nq1d points)."""
+    from .intrules import gauss_legendre_1d, simplex_rule
+
+    p2, w2 = simplex_rule(2, 2 * nq1d - 1)
+    z, wz = gauss_legendre_1d(nq1d)
+    nq2, nq1 = len(p2), len(z)
+    pts = np.zeros((nq2 * nq1, 3))
+    wts = np.zeros(nq2 * nq1)
+    for k in range(nq1):
+        pts[k * nq2:(k + 1) * nq2, :2] = p2
+        pts[k * nq2:(k + 1) * nq2, 2] = z[k]
+        wts[k * nq2:(k + 1) * nq2] = w2 * wz[k]
+    return pts, wts
+
+
+def prism_basis_matrices(p: int, pts: np.ndarray, nodes_1d: np.ndarray):
+    """Dense wedge nodal basis (triangle simplex ⊗ 1D Lagrange).
+
+    Reference analog: ``H1_WedgeElement`` (fem/fe/fe_h1.cpp) — tensor of
+    ``H1_TriangleElement`` and ``H1_SegmentElement``.
+    Returns B (npts, nd), G (npts, nd, 3)."""
+    from .geometry import Geometry as _G
+
+    Bt, Gt = simplex_basis_matrices(_G.TRIANGLE, p, pts[:, :2])
+    Bz, Gz = lagrange_matrices(nodes_1d, pts[:, 2])
+    mi = lattice_multi_index(_G.PRISM, p)
+    mi_t = lattice_multi_index(_G.TRIANGLE, p)
+    tmap = {tuple(r): i for i, r in enumerate(mi_t)}
+    nd = len(mi)
+    B = np.zeros((len(pts), nd))
+    G = np.zeros((len(pts), nd, 3))
+    for n, (i, j, k) in enumerate(mi):
+        t = tmap[(i, j)]
+        B[:, n] = Bt[:, t] * Bz[:, k]
+        G[:, n, 0] = Gt[:, t, 0] * Bz[:, k]
+        G[:, n, 1] = Gt[:, t, 1] * Bz[:, k]
+        G[:, n, 2] = Bt[:, t] * Gz[:, k]
     return B, G

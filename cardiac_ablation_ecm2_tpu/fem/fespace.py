@@ -347,6 +347,13 @@ def element_node_coords(mesh: Mesh, p: int) -> np.ndarray:
     # Q1/P1 shape functions evaluated at the lattice points
     if geom in (Geometry.TRIANGLE, Geometry.TETRAHEDRON):
         B, _ = simplex_basis_matrices(geom, 1, ref)    # (nd, nv)
+    elif geom == Geometry.PRISM:
+        # wedge map: barycentric triangle × linear z
+        lam = np.stack(
+            [1 - ref[:, 0] - ref[:, 1], ref[:, 0], ref[:, 1]], axis=1
+        )
+        z = ref[:, 2][:, None]
+        B = np.concatenate([lam * (1 - z), lam * z], axis=1)   # (nd, 6)
     else:
         d2q1 = _q1_eval_matrix(geom, ref)
         B = d2q1

@@ -87,6 +87,17 @@ REF_VERTS = {
             [0.0, 1.0, 1.0],
         ]
     ),
+    # wedge (mesh/wedge.hpp): triangle at z=0 and z=1
+    Geometry.PRISM: np.array(
+        [
+            [0.0, 0.0, 0.0],
+            [1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [1.0, 0.0, 1.0],
+            [0.0, 1.0, 1.0],
+        ]
+    ),
 }
 
 #: local edges as vertex index pairs (reference: mesh/element.hpp tables)
@@ -99,6 +110,11 @@ EDGES = {
         (0, 1), (1, 2), (2, 3), (3, 0),          # bottom
         (4, 5), (5, 6), (6, 7), (7, 4),          # top
         (0, 4), (1, 5), (2, 6), (3, 7),          # vertical
+    ],
+    Geometry.PRISM: [
+        (0, 1), (1, 2), (2, 0),                  # bottom triangle
+        (3, 4), (4, 5), (5, 3),                  # top triangle
+        (0, 3), (1, 4), (2, 5),                  # vertical
     ],
 }
 
@@ -113,6 +129,10 @@ FACES = {
         (3, 0, 4, 7),  # x=0
         (4, 5, 6, 7),  # z=1
     ],
+    Geometry.PRISM: [                           # 2 tris + 3 quads (wedge.hpp)
+        (0, 2, 1), (3, 4, 5),
+        (0, 1, 4, 3), (1, 2, 5, 4), (2, 0, 3, 5),
+    ],
     Geometry.SQUARE: [(0, 1), (1, 2), (2, 3), (3, 0)],
     Geometry.TRIANGLE: [(0, 1), (1, 2), (2, 0)],
     Geometry.SEGMENT: [(0,), (1,)],
@@ -122,6 +142,9 @@ FACES = {
 FACE_GEOM = {
     Geometry.TETRAHEDRON: Geometry.TRIANGLE,
     Geometry.CUBE: Geometry.SQUARE,
+    # wedges have mixed tri+quad faces; *listed boundary* faces are the quad
+    # side walls (make_cartesian_3d_prism) — mixed boundaries are round-2
+    Geometry.PRISM: Geometry.SQUARE,
     Geometry.SQUARE: Geometry.SEGMENT,
     Geometry.TRIANGLE: Geometry.SEGMENT,
     Geometry.SEGMENT: Geometry.POINT,

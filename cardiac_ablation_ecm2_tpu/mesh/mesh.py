@@ -324,6 +324,41 @@ def make_cartesian_3d_tet(
     )
 
 
+def make_cartesian_3d_prism(
+    nx: int, ny: int, nz: int, sx: float = 1.0, sy: float = 1.0, sz: float = 1.0
+) -> Mesh:
+    """Wedge (prism) grid: each hex split into 2 wedges by the v0–v2 bottom
+    diagonal (consistent across columns, so all interior faces match).
+
+    Boundary: the four *side* walls (quads).  The z=0/z=1 faces would be
+    triangles — mixed-shape boundary arrays are a round-2 item — so they are
+    left unlisted (natural/Neumann).  Use manufactured solutions with zero
+    normal flux there, or constrain via ``essential_dofs`` of a SubMesh.
+    """
+    h = make_cartesian_3d(nx, ny, nz, sx, sy, sz)
+    e = h.elements
+    w1 = e[:, [0, 1, 2, 4, 5, 6]]
+    w2 = e[:, [0, 2, 3, 4, 6, 7]]
+    wedges = np.concatenate([w1, w2], axis=0)
+    attrs = np.tile(h.attributes, 2)
+    V = h.vertices
+    keep, battr = [], []
+    for quad, attr in zip(h.boundary, h.bdr_attributes):
+        z = V[quad, 2]
+        if np.allclose(z, z[0]):
+            continue                      # z-face (would split into tris)
+        keep.append(tuple(int(v) for v in quad))
+        battr.append(attr)
+    return Mesh(
+        geom=Geometry.PRISM,
+        vertices=V,
+        elements=wedges,
+        attributes=attrs,
+        boundary=np.array(keep, dtype=np.int64).reshape(-1, 4),
+        bdr_attributes=np.array(battr, dtype=np.int64),
+    )
+
+
 def curve_mesh(mesh: Mesh, mapping, order: int) -> Mesh:
     """Isoparametric curved mesh: apply an analytic map to the order-p
     geometry lattice (the reference's SetCurvature + Transform pattern,
