@@ -30,7 +30,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .geometry import Geometry, IS_TENSOR, DIMENSION
+from .geometry import Geometry, IS_TENSOR, DIMENSION, REF_VERTS
 from .intrules import gauss_legendre_1d, gauss_lobatto_1d, simplex_rule, tensor_rule
 
 
@@ -110,6 +110,12 @@ def lattice_multi_index(geom: Geometry, p: int) -> np.ndarray:
             for i in range(p + 1 - j)
         ]
         return np.array(out, dtype=np.int64)
+    if geom == Geometry.PYRAMID:
+        # order 1 only: the 5 vertices (rational basis; higher order needs
+        # the Fuentes construction — round-2)
+        if p != 1:
+            raise NotImplementedError("pyramid: order 1 only")
+        return np.rint(REF_VERTS[geom]).astype(np.int64)
     raise ValueError(f"unsupported geometry {geom}")
 
 
@@ -125,6 +131,8 @@ def h1_nodes(geom: Geometry, p: int) -> np.ndarray:
         xy = mi[:, :2].astype(np.float64) / max(p, 1)
         z = h1_nodes_1d(p)[mi[:, 2]]
         return np.concatenate([xy, z[:, None]], axis=1)
+    if geom == Geometry.PYRAMID:
+        return mi.astype(np.float64)
     # simplices: equispaced lattice
     return mi.astype(np.float64) / max(p, 1)
 
@@ -239,6 +247,12 @@ def make_dof_to_quad(
         return DofToQuad(
             geom=geom, order=p, tensor=False, points=pts, weights=wts, B=B, G=G
         )
+    if geom == Geometry.PYRAMID:
+        pts, wts = pyramid_rule(nq1d)
+        B, G = pyramid_basis_matrices(p, pts)
+        return DofToQuad(
+            geom=geom, order=p, tensor=False, points=pts, weights=wts, B=B, G=G
+        )
     # simplex dense path
     qorder = 2 * nq1d - 1
     pts, wts = simplex_rule(dim, qorder)
@@ -321,4 +335,47 @@ def prism_basis_matrices(p: int, pts: np.ndarray, nodes_1d: np.ndarray):
         G[:, n, 0] = Gt[:, t, 0] * Bz[:, k]
         G[:, n, 1] = Gt[:, t, 1] * Bz[:, k]
         G[:, n, 2] = Bt[:, t] * Gz[:, k]
+    return B, G
+
+
+@functools.lru_cache(maxsize=None)
+def pyramid_rule(nq1d: int):
+    """Pyramid quadrature: cube Gauss rule mapped (x,y,z) → ((1−z)x, (1−z)y, z)
+    with Jacobian (1−z)² (conical product — all points interior, so the
+    rational basis is regular at every point)."""
+    from .intrules import tensor_rule
+
+    pc, wc = tensor_rule(3, nq1d)
+    z = pc[:, 2]
+    pts = np.stack([(1 - z) * pc[:, 0], (1 - z) * pc[:, 1], z], axis=1)
+    return pts, wc * (1 - z) ** 2
+
+
+def pyramid_basis_matrices(p: int, pts: np.ndarray):
+    """Rational vertex basis of the linear pyramid
+    (fem/fe/fe_fixed_order.cpp LinearPyramidFiniteElement):
+    with s = 1 − z:  N0=(s−x)(s−y)/s, N1=x(s−y)/s, N2=xy/s, N3=(s−x)y/s,
+    N4=z.  Exact for linears; Σ N = 1."""
+    assert p == 1
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    s = 1.0 - z
+    B = np.stack([
+        (s - x) * (s - y) / s, x * (s - y) / s, x * y / s, (s - x) * y / s, z,
+    ], axis=1)
+    G = np.zeros((len(pts), 5, 3))
+    # exact expansions: N0 = s − x − y + xy/s; N1 = x − xy/s; N2 = xy/s;
+    # N3 = y − xy/s; N4 = z;  with ds/dz = −1 ⇒ d(xy/s)/dz = xy/s².
+    G[:, 0, 0] = -1.0 + y / s
+    G[:, 0, 1] = -1.0 + x / s
+    G[:, 0, 2] = -1.0 + x * y / s**2
+    G[:, 1, 0] = 1.0 - y / s
+    G[:, 1, 1] = -x / s
+    G[:, 1, 2] = -x * y / s**2
+    G[:, 2, 0] = y / s
+    G[:, 2, 1] = x / s
+    G[:, 2, 2] = x * y / s**2
+    G[:, 3, 0] = -y / s
+    G[:, 3, 1] = 1.0 - x / s
+    G[:, 3, 2] = -x * y / s**2
+    G[:, 4, 2] = 1.0
     return B, G

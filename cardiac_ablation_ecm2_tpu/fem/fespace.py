@@ -354,6 +354,10 @@ def element_node_coords(mesh: Mesh, p: int) -> np.ndarray:
         )
         z = ref[:, 2][:, None]
         B = np.concatenate([lam * (1 - z), lam * z], axis=1)   # (nd, 6)
+    elif geom == Geometry.PYRAMID:
+        # order 1: lattice nodes ARE the vertices (rational basis is nodal,
+        # but evaluating it at z=1 divides by zero — identity is exact)
+        B = np.eye(NUM_VERTS[geom])
     else:
         d2q1 = _q1_eval_matrix(geom, ref)
         B = d2q1

@@ -87,6 +87,16 @@ REF_VERTS = {
             [0.0, 1.0, 1.0],
         ]
     ),
+    # pyramid (mesh/pyramid.hpp): quad base + apex
+    Geometry.PYRAMID: np.array(
+        [
+            [0.0, 0.0, 0.0],
+            [1.0, 0.0, 0.0],
+            [1.0, 1.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    ),
     # wedge (mesh/wedge.hpp): triangle at z=0 and z=1
     Geometry.PRISM: np.array(
         [
@@ -116,6 +126,10 @@ EDGES = {
         (3, 4), (4, 5), (5, 3),                  # top triangle
         (0, 3), (1, 4), (2, 5),                  # vertical
     ],
+    Geometry.PYRAMID: [
+        (0, 1), (1, 2), (2, 3), (3, 0),          # base
+        (0, 4), (1, 4), (2, 4), (3, 4),          # to apex
+    ],
 }
 
 #: local faces as cyclic vertex index tuples (3D geometries); 2D: faces = edges
@@ -133,6 +147,10 @@ FACES = {
         (0, 2, 1), (3, 4, 5),
         (0, 1, 4, 3), (1, 2, 5, 4), (2, 0, 3, 5),
     ],
+    Geometry.PYRAMID: [                         # quad base + 4 tris
+        (3, 2, 1, 0),
+        (0, 1, 4), (1, 2, 4), (2, 3, 4), (3, 0, 4),
+    ],
     Geometry.SQUARE: [(0, 1), (1, 2), (2, 3), (3, 0)],
     Geometry.TRIANGLE: [(0, 1), (1, 2), (2, 0)],
     Geometry.SEGMENT: [(0,), (1,)],
@@ -145,6 +163,8 @@ FACE_GEOM = {
     # wedges have mixed tri+quad faces; *listed boundary* faces are the quad
     # side walls (make_cartesian_3d_prism) — mixed boundaries are round-2
     Geometry.PRISM: Geometry.SQUARE,
+    # pyramid meshes from hex splitting: every boundary face is a quad base
+    Geometry.PYRAMID: Geometry.SQUARE,
     Geometry.SQUARE: Geometry.SEGMENT,
     Geometry.TRIANGLE: Geometry.SEGMENT,
     Geometry.SEGMENT: Geometry.POINT,

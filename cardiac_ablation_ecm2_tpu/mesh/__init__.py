@@ -6,6 +6,7 @@ from .mesh import (
     make_cartesian_2d_tri,
     make_cartesian_3d,
     make_cartesian_3d_prism,
+    make_cartesian_3d_pyramid,
     make_cartesian_3d_tet,
     unique_edges,
     unique_faces,

@@ -359,6 +359,36 @@ def make_cartesian_3d_prism(
     )
 
 
+def make_cartesian_3d_pyramid(
+    nx: int, ny: int, nz: int, sx: float = 1.0, sy: float = 1.0, sz: float = 1.0
+) -> Mesh:
+    """Pyramid grid: each hex split into 6 pyramids with apex at the hex
+    center (every boundary face stays a quad — the pyramid base)."""
+    h = make_cartesian_3d(nx, ny, nz, sx, sy, sz)
+    from ..fem.geometry import FACES as _FACES
+
+    centers = h.vertices[h.elements].mean(axis=1)         # (ne, 3)
+    verts = np.concatenate([h.vertices, centers], axis=0)
+    apex = h.nv + np.arange(h.ne)
+    pyrs, attrs = [], []
+    for e in range(h.ne):
+        t = h.elements[e]
+        for fverts in _FACES[Geometry.CUBE]:
+            # FACES lists are outward-cyclic; viewed from the apex (inside)
+            # that is clockwise — reverse for a positively-oriented pyramid
+            base = [int(t[i]) for i in reversed(fverts)]
+            pyrs.append(base + [int(apex[e])])
+            attrs.append(h.attributes[e])
+    return Mesh(
+        geom=Geometry.PYRAMID,
+        vertices=verts,
+        elements=np.array(pyrs, dtype=np.int64),
+        attributes=np.array(attrs, dtype=np.int64),
+        boundary=h.boundary,
+        bdr_attributes=h.bdr_attributes,
+    )
+
+
 def curve_mesh(mesh: Mesh, mapping, order: int) -> Mesh:
     """Isoparametric curved mesh: apply an analytic map to the order-p
     geometry lattice (the reference's SetCurvature + Transform pattern,
