@@ -8,7 +8,7 @@ import functools
 from typing import Optional
 
 from ..utils.config import real_t
-from .fespace import FESpace, element_node_coords
+from .fespace import element_node_coords
 from .geom_factors import GeometricFactors, compute_geometric_factors
 from .quadinterp import DeviceBasis, device_basis
 from .restriction import ElementRestriction

@@ -24,13 +24,12 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..mesh.mesh import Mesh
-from ..utils.config import index_t
 from .basis import DofToQuad, h1_nodes_1d, lattice_multi_index, make_dof_to_quad
 from .geometry import Geometry
 

@@ -20,7 +20,7 @@ evaluated Q-vectors or lambda composition — no classes needed.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Union
+from typing import Callable, Union
 
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .build import basis_for, geom_factors_for, restriction_for
-from .geom_factors import adjugate
 from .gridfunction import phys_grad_at_quad
 from .quadinterp import eval_values, eval_values_t
 
@@ -46,7 +45,6 @@ def kelly_estimator(fes, u, nq1d=None, dtype=None) -> np.ndarray:
     """Kelly flux-jump estimator (KellyErrorEstimator, fem/estimators.hpp:555):
     η_K² = Σ_{F⊂∂K} h_F ∮_F [∇u·n]² /2, computed with the face machinery."""
     from .faces import build_face_data
-    from .restriction import ElementRestriction
 
     mesh = fes.mesh
     fd = build_face_data(mesh, fes.order, nq1d, with_gradients=True)

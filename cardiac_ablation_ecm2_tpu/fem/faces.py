@@ -16,13 +16,12 @@ then two batched matmuls + a segment-sum scatter — no orientation branches.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
 from .basis import h1_nodes_1d, lagrange_matrices, lattice_multi_index, simplex_basis_matrices
-from .geometry import DIMENSION, FACES, FACE_GEOM, Geometry, IS_TENSOR, NUM_VERTS, REF_VERTS
+from .geometry import DIMENSION, FACES, FACE_GEOM, Geometry, IS_TENSOR, REF_VERTS
 from .intrules import gauss_legendre_1d, simplex_rule, tensor_rule
 
 

@@ -14,14 +14,13 @@ column), so for square J, ``grad_x u = J^{-T} grad_ξ u``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..utils.config import real_t
 from .basis import DofToQuad
-from .quadinterp import DeviceBasis, device_basis, eval_grad, eval_values
+from .quadinterp import device_basis, eval_grad, eval_values
 
 
 @dataclasses.dataclass(frozen=True, eq=False)

@@ -9,7 +9,7 @@ interpretation.  Nodal projection = evaluation at ``fes.dof_coords``
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 import numpy as np

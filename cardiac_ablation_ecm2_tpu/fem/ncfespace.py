@@ -18,7 +18,6 @@ Transitive (chained) constraints are resolved at build time.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

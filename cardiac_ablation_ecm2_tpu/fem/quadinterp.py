@@ -22,7 +22,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 #: MXU contraction precision (see utils.config.Config.matmul_precision): the
 #: TPU default (single-pass bf16 operands) costs ~4e-3 relative error per

@@ -20,7 +20,6 @@ TPU-native: transfers are element-local interpolations —
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

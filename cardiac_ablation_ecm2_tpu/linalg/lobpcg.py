@@ -15,7 +15,6 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 class EigResult(NamedTuple):

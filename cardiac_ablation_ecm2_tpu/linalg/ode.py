@@ -25,9 +25,8 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -19,7 +19,6 @@ TPU-native design:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple, Optional
 
 import jax

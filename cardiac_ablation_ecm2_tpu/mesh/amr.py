@@ -191,7 +191,6 @@ def interp_after_refine(old_fes, new_fes, u_old) -> np.ndarray:
     (CoarseFineTransformations analog).  Host-side; setup path."""
     import jax.numpy as jnp
 
-    from ..fem.gridfunction import project
     from .point_eval import evaluate_at_points
 
     vals = evaluate_at_points(old_fes, np.asarray(u_old), new_fes.dof_coords)

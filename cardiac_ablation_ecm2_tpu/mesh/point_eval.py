@@ -9,11 +9,11 @@ a device hot loop).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
-from ..fem.geometry import DIMENSION, Geometry, IS_TENSOR, NUM_VERTS, REF_VERTS
+from ..fem.geometry import DIMENSION, Geometry
 
 
 def _q1(geom, pts):

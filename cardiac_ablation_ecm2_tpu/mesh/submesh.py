@@ -12,12 +12,11 @@ is a dof index array built by matching (sub element, local node) to
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..fem.geometry import FACE_GEOM
 from ..utils.config import index_t
 from .mesh import Mesh
 

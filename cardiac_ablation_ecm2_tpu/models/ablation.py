@@ -25,10 +25,8 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..fem.build import geom_factors_for
-from ..fem.fespace import FESpace
 from ..fem.gridfunction import values_at_quad
 from ..linalg import ode
 from ..utils.config import real_t

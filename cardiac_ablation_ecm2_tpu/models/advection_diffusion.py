@@ -14,9 +14,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional
 
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 from ..fem.build import basis_for, geom_factors_for
 from ..fem.fespace import L2FESpace

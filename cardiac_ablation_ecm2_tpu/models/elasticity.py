@@ -9,7 +9,7 @@ boundary (attribute 1), downward pull force on boundary attribute 2 via
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

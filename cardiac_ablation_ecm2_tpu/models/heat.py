@@ -13,7 +13,7 @@ enters as a traced scalar so time-step changes do not retrigger compilation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,6 @@ from ..fem.fespace import FESpace
 from ..fem.quadinterp import eval_values
 from ..linalg.solvers import cg
 from ..ops import diffusion, mass
-from ..utils.config import real_t
 
 
 @dataclasses.dataclass(eq=False)

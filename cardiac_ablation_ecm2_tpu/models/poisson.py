@@ -12,9 +12,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..fem.fespace import FESpace
 from ..fem.gridfunction import project

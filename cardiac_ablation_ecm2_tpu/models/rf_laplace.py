@@ -12,12 +12,12 @@ the volumetric heat source is SAR·ρ = σ|∇Φ|² [W/m³].
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..fem.build import basis_for, geom_factors_for, restriction_for
+from ..fem.build import geom_factors_for
 from ..fem.coefficient import eval_coeff
 from ..fem.fespace import FESpace
 from ..fem.gridfunction import phys_grad_at_quad

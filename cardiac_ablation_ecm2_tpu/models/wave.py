@@ -12,7 +12,6 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..fem.build import basis_for, geom_factors_for, restriction_for
 from ..fem.fespace import FESpace

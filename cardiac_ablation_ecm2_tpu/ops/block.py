@@ -11,7 +11,7 @@ TPU-native: a block operator is a function on one concatenated flat vector
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Sequence, Tuple
+from typing import Callable
 
 import jax.numpy as jnp
 import numpy as np
@@ -53,7 +53,6 @@ def mixed_divergence(rt_space: RTSpace, l2_fes, nq1d: int = 3, dtype=None):
     (VectorFEDivergenceIntegrator analog; div_phys = div_ref / detJ so the
     w·detJ quadrature weight cancels to w·div_ref — exact for RT0.)
     """
-    from ..fem.build import basis_for
     from ..fem.basis import make_dof_to_quad
 
     mesh = rt_space.mesh

@@ -21,13 +21,12 @@ never interior) and are applied on the condensed system.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..fem.basis import lattice_multi_index
-from ..fem.build import basis_for, geom_factors_for
+from ..fem.build import geom_factors_for
 from ..utils.config import index_t, real_t
 from . import diffusion as dmod
 from . import mass as mmod

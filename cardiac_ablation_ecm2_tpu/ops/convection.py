@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..fem.geom_factors import GeometricFactors, adjugate
-from ..fem.quadinterp import DeviceBasis, eval_grad, eval_values, eval_values_t
+from ..fem.quadinterp import DeviceBasis, eval_grad, eval_values_t
 
 
 def setup(gf: GeometricFactors, coeff_q=None, vel_q=None) -> jnp.ndarray:

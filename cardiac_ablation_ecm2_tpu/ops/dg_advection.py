@@ -19,12 +19,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..fem.build import basis_for, geom_factors_for
-from ..fem.faces import FaceData, build_face_data
+from ..fem.faces import build_face_data
 from ..fem.fespace import L2FESpace
 from ..fem.geom_factors import adjugate
 from ..fem.quadinterp import eval_grad_t, eval_values
@@ -119,8 +118,6 @@ class DGAdvection:
 def project_l2(fes: L2FESpace, f: Callable, dtype=None) -> jnp.ndarray:
     """Nodal projection onto the (Gauss-point nodal) L2 space."""
     from ..fem.fespace import element_node_coords
-    from ..fem.basis import h1_nodes, l2_nodes_1d, lattice_multi_index
-    from ..fem.geometry import IS_TENSOR
 
     mesh = fes.mesh
     # nodal points of the L2 basis are the same lattice as H1 for our build

@@ -18,9 +18,8 @@ are one flux + one wave-speed function.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

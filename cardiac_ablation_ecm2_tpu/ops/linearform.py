@@ -25,7 +25,6 @@ from ..fem.geom_factors import compute_geometric_factors
 from ..fem.quadinterp import device_basis, eval_values_t, eval_grad_t
 from ..fem.build import basis_for, geom_factors_for
 from ..mesh.mesh import Mesh
-from ..fem.geometry import FACE_GEOM
 from ..utils.config import real_t
 import functools
 

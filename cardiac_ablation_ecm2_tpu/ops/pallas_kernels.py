@@ -26,7 +26,6 @@ an opt-in experiment kept for future blocked-qdata layouts.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 

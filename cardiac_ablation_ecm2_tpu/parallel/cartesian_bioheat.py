@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial as fpartial
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ here fused into one symmetric partial-sum exchange over ICI).
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -32,10 +32,9 @@ from ..fem.geom_factors import compute_geometric_factors
 from ..fem.quadinterp import device_basis, eval_values_t
 from ..linalg.solvers import cg
 from ..ops import diffusion as diffusion_mod
-from ..ops import mass as mass_mod
 from ..utils.config import real_t
 from . import ops as pops
-from .pfespace import ParFESpace, build, gather_global, scatter_global
+from .pfespace import ParFESpace, build, gather_global
 
 
 def _stack_local_ess(pf: ParFESpace, ess_global: np.ndarray) -> np.ndarray:
