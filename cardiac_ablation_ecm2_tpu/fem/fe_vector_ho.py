@@ -227,35 +227,6 @@ def _face_lookup(geom):
     return out
 
 
-def _canon_frame(gf):
-    """Canonical frame of a quad face from global corner ids (cyclic).
-
-    Returns (gsort, EU, EV): EU/EV are ±unit 2-vectors in the face-local
-    (u, v) index plane (u along corner0→1, v along corner0→3) — the exact
-    frame `_elem_node_keys` uses for H1 face dofs."""
-    gf = [int(x) for x in gf]
-    gsort = sorted(gf)
-    r = gf.index(min(gf))
-    dsig = 1 if gf[(r + 1) % 4] < gf[(r - 1) % 4] else -1
-    c01 = [np.array(t) for t in ((0, 0), (1, 0), (1, 1), (0, 1))]
-    cr = c01[r]
-    EU = c01[(r + dsig) % 4] - cr
-    EV = c01[(r - dsig) % 4] - cr
-    return gsort, cr, EU, EV
-
-
-def _axis_map(cr, E, coord, rev_open, rev_closed, is_open):
-    """Index of a face-local coordinate along canonical axis E.
-
-    coord: face-local index; cr component on that axis says whether the
-    canonical origin is at 0 or 1 → reverse when at 1."""
-    a = int(np.argmax(np.abs(E)))        # 0: runs along u, 1: along v
-    start = cr[a]
-    if start == 0:
-        return a, coord, 1
-    return a, (rev_open(coord) if is_open else rev_closed(coord)), -1
-
-
 @dataclasses.dataclass(eq=False)
 class VectorFESpaceHO:
     """Shared machinery: gather_map + signs from entity keys."""
@@ -415,70 +386,78 @@ class VectorFESpaceHO:
         return np.array(sorted(ess), dtype=np.int32)
 
     # -- helpers ----------------------------------------------------------
+    @staticmethod
+    def _canon_frames(gf):
+        """Vectorized canonical frames: gf (ne, 4) cyclic global ids →
+        (gsort (ne,4), EU (ne,2), EV (ne,2)) in the face-local (u,v) plane
+        (same rule as _elem_node_keys)."""
+        ne = gf.shape[0]
+        ar = np.arange(ne)
+        gsort = np.sort(gf, axis=1)
+        r = np.argmin(gf, axis=1)
+        nxt = gf[ar, (r + 1) % 4]
+        prv = gf[ar, (r - 1) % 4]
+        dsig = np.where(nxt < prv, 1, -1)
+        c01 = np.array([(0, 0), (1, 0), (1, 1), (0, 1)])
+        cr = c01[r]
+        EU = c01[(r + dsig) % 4] - cr
+        EV = c01[(r - dsig) % 4] - cr
+        return gsort, EU, EV
+
     def _face_tangential(self, keys, signs, n, elems, fverts, au, su, av, sv,
                          d, i_open, ain, j_closed, rev_o, rev_c, n_open):
         """ND face dof: direction ê_d (= one in-face axis), open index i_open
-        along d, closed-interior j_closed along ain."""
-        ne = elems.shape[0]
-        # face-local (u, v) indices and the local axis carrying the direction
+        along d, closed-interior j_closed along ain.  Vectorized over ne."""
         if au == d:
-            dir_loc = 0                          # direction along local u
-            s1 = su
+            dir_loc, s1 = 0, su
             pu = i_open if su > 0 else rev_o(i_open)
             pv = j_closed if sv > 0 else rev_c(j_closed)
-            across_loc = 1
         else:
-            dir_loc = 1
-            s1 = sv
+            dir_loc, s1 = 1, sv
             pv = i_open if sv > 0 else rev_o(i_open)
             pu = j_closed if su > 0 else rev_c(j_closed)
-            across_loc = 0
-        gf = elems[:, list(fverts)]              # (ne, 4)
-        for e in range(ne):
-            gsort, cr, EU, EV = _canon_frame(gf[e])
-            # which canonical axis runs along local u / v
-            aU = int(np.argmax(np.abs(EU)))      # 0→u, 1→v
-            aV = int(np.argmax(np.abs(EV)))
-            ploc = (pu, pv)
-            if aU == dir_loc:
-                axis_label = 0
-                s2 = int(EU[aU])
-                po = ploc[dir_loc] if s2 > 0 else rev_o(ploc[dir_loc])
-                sC = int(EV[aV])
-                pc = ploc[across_loc] if sC > 0 else rev_c(ploc[across_loc])
-            else:
-                axis_label = 1
-                s2 = int(EV[aV])
-                po = ploc[dir_loc] if s2 > 0 else rev_o(ploc[dir_loc])
-                sC = int(EU[aU])
-                pc = ploc[across_loc] if sC > 0 else rev_c(ploc[across_loc])
-            keys[e, n, 0:4] = gsort
-            keys[e, n, 4] = _meta(_FACE, axis_label, po, pc)
-            signs[e, n] = s1 * s2
+        p_dir = (pu, pv)[dir_loc]
+        p_acr = (pu, pv)[1 - dir_loc]
+        gf = elems[:, list(fverts)]
+        gsort, EU, EV = self._canon_frames(gf)
+        aU = np.argmax(np.abs(EU), axis=1)          # 0→local u, 1→local v
+        aV = np.argmax(np.abs(EV), axis=1)
+        sU = np.take_along_axis(EU, aU[:, None], 1)[:, 0]
+        sV = np.take_along_axis(EV, aV[:, None], 1)[:, 0]
+        on_U = aU == dir_loc                          # direction runs along U
+        s2 = np.where(on_U, sU, sV)
+        po = np.where(s2 > 0, p_dir, rev_o(p_dir))
+        sC = np.where(on_U, sV, sU)
+        pc = np.where(sC > 0, p_acr, rev_c(p_acr))
+        axis_label = np.where(on_U, 0, 1).astype(np.int64)
+        keys[:, n, 0:4] = gsort
+        keys[:, n, 4] = (
+            (np.int64(_FACE) << 48) | (axis_label << 32)
+            | (po.astype(np.int64) << 16) | pc.astype(np.int64)
+        )
+        signs[:, n] = s1 * s2
 
     def _face_normal(self, keys, signs, n, elems, fverts, au, su, av, sv,
                      trans_axes, idx, rev_o, nout, d):
-        """RT face dof: normal ê_d, open (j0, j1) across."""
-        ne = elems.shape[0]
-        # local u index: along axis au (a transverse axis)
-        ju = idx[au]
-        jv = idx[av]
-        pu = ju if su > 0 else rev_o(ju)
-        pv = jv if sv > 0 else rev_o(jv)
+        """RT face dof: normal ê_d, open (j0, j1) across.  Vectorized."""
+        pu = idx[au] if su > 0 else rev_o(idx[au])
+        pv = idx[av] if sv > 0 else rev_o(idx[av])
         gf = elems[:, list(fverts)]
-        for e in range(ne):
-            gsort, cr, EU, EV = _canon_frame(gf[e])
-            aU = int(np.argmax(np.abs(EU)))
-            aV = int(np.argmax(np.abs(EV)))
-            ploc = (pu, pv)
-            sU = int(EU[aU])
-            sV = int(EV[aV])
-            pU = ploc[aU] if sU > 0 else rev_o(ploc[aU])
-            pV = ploc[aV] if sV > 0 else rev_o(ploc[aV])
-            parity = int(EU[0] * EV[1] - EU[1] * EV[0])   # canon n vs local n
-            keys[e, n, 0:4] = gsort
-            keys[e, n, 4] = _meta(_FACE, pU, pV)
-            signs[e, n] = nout * parity
+        gsort, EU, EV = self._canon_frames(gf)
+        aU = np.argmax(np.abs(EU), axis=1)
+        aV = np.argmax(np.abs(EV), axis=1)
+        sU = np.take_along_axis(EU, aU[:, None], 1)[:, 0]
+        sV = np.take_along_axis(EV, aV[:, None], 1)[:, 0]
+        ploc = np.array([pu, pv])
+        pU = np.where(sU > 0, ploc[aU], rev_o(ploc[aU]))
+        pV = np.where(sV > 0, ploc[aV], rev_o(ploc[aV]))
+        parity = EU[:, 0] * EV[:, 1] - EU[:, 1] * EV[:, 0]
+        keys[:, n, 0:4] = gsort
+        keys[:, n, 4] = (
+            (np.int64(_FACE) << 48) | (pU.astype(np.int64) << 32)
+            | (pV.astype(np.int64) << 16)
+        )
+        signs[:, n] = nout * parity
 
     @property
     def nd_elem(self):
