@@ -43,8 +43,14 @@ def main():
     from cardiac_ablation_ecm2_tpu.models import bioheat
     from cardiac_ablation_ecm2_tpu.utils.config import configure
 
+    # quad_extra=0 → nq1d = p+1 Gauss: EXACT for the affine-hex constant-
+    # coefficient operator (integrand degree ≤ 2p per direction; 3-pt Gauss
+    # is order-5) and matches MFEM's own default 2p-order rule — while
+    # carrying 27 instead of 64 qdata points per element (2.4× less HBM
+    # traffic on the dominant stream).
     configure(dtype=dtype,
-              matmul_precision=os.environ.get("BENCH_MATMUL", "high"))
+              matmul_precision=os.environ.get("BENCH_MATMUL", "high"),
+              quad_extra=int(os.environ.get("BENCH_QUAD_EXTRA", "0")))
 
     L = 0.04
     mesh = make_cartesian_3d(n, n, n, L, L, L)
