@@ -127,14 +127,34 @@ def h1_nodes(geom: Geometry, p: int) -> np.ndarray:
         x1 = h1_nodes_1d(p)
         return x1[mi]
     if geom == Geometry.PRISM:
-        # triangle part equispaced, vertical GLL
-        xy = mi[:, :2].astype(np.float64) / max(p, 1)
+        # triangle part = the (edge-warped) triangle nodes, vertical GLL
+        tri_mi = lattice_multi_index(Geometry.TRIANGLE, p)
+        tri_pts = h1_nodes(Geometry.TRIANGLE, p)
+        tmap = {tuple(r): i for i, r in enumerate(tri_mi)}
+        xy = np.stack([tri_pts[tmap[(i, j)]] for (i, j, _k) in mi])
         z = h1_nodes_1d(p)[mi[:, 2]]
         return np.concatenate([xy, z[:, None]], axis=1)
     if geom == Geometry.PYRAMID:
         return mi.astype(np.float64)
-    # simplices: equispaced lattice
-    return mi.astype(np.float64) / max(p, 1)
+    # simplices: equispaced lattice with EDGE nodes warped to the 1D GLL
+    # positions — the edge trace then matches the tensor (quad/hex) elements'
+    # GLL traces, which is what makes mixed tri+quad meshes H1-conforming
+    # (same rule as the reference's H1 simplex collections, fe_h1.cpp).
+    pts = mi.astype(np.float64) / max(p, 1)
+    if p >= 2:
+        from .geometry import EDGES, REF_VERTS
+
+        rv = REF_VERTS[geom]
+        latt_v = np.rint(rv * p).astype(np.int64)
+        gll = h1_nodes_1d(p)
+        for (la, lb) in EDGES[geom]:
+            A, B = latt_v[la], latt_v[lb]
+            for t in range(1, p):
+                latt = tuple((A * (p - t) + B * t) // p)
+                n = np.nonzero((mi == np.array(latt)).all(axis=1))[0]
+                if len(n):
+                    pts[n[0]] = rv[la] + gll[t] * (rv[lb] - rv[la])
+    return pts
 
 
 # ----------------------------------------------------------------------------

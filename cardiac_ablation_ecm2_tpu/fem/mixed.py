@@ -1,0 +1,255 @@
+"""Mixed-geometry meshes and FE spaces (SURVEY.md §7 hard-part 5).
+
+Reference analog: MFEM's per-element-type ``Mesh`` containers and the
+geometry-batched device kernels (one kernel launch per geometry class).
+TPU-native: a mixed mesh is a tuple of homogeneous **blocks** — one
+(geometry, elements, attributes) batch per element type — and every op loops
+over blocks and sums contributions into one shared L-vector:
+
+    y = Σ_b Rᵀ_b apply_b(qdata_b, R_b x)
+
+Conformity across blocks is automatic: the entity-key dof enumeration
+(``fespace._elem_node_keys``) is geometry-agnostic, and H1 simplex bases
+place their edge nodes at the same 1D GLL positions as the tensor elements
+(``basis.h1_nodes``), so tri↔quad traces interpolate identical node sets.
+
+Scope this round: 2D (tri + quad blocks) with segment boundaries; 3D mixed
+blocks work through the same code path but mixed-shape *boundary* arrays are
+deferred.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.mesh import Mesh
+from ..utils.config import real_t
+from .basis import make_dof_to_quad
+from .fespace import _EDGE, _KEYLEN, _VERT, _elem_node_keys
+from .geometry import DIMENSION, Geometry, NUM_VERTS
+from .geom_factors import compute_geometric_factors
+from .quadinterp import device_basis, eval_values_t
+from .restriction import ElementRestriction
+from ..utils.native import encode_rows
+
+
+@dataclasses.dataclass(eq=False)
+class MixedMesh:
+    """Mixed-geometry mesh: per-geometry element blocks over one vertex set."""
+
+    vertices: np.ndarray                       # (nv, sdim)
+    blocks: Tuple                              # ((geom, elements, attrs), …)
+    boundary: np.ndarray                       # (nbe, 2) segments (2D)
+    bdr_attributes: np.ndarray
+
+    @property
+    def nv(self) -> int:
+        return len(self.vertices)
+
+    @property
+    def ne(self) -> int:
+        return sum(len(b[1]) for b in self.blocks)
+
+    @property
+    def nbe(self) -> int:
+        return len(self.boundary)
+
+    @property
+    def dim(self) -> int:
+        return DIMENSION[self.blocks[0][0]]
+
+
+def make_mixed_strip(n: int = 4) -> MixedMesh:
+    """Unit square: left half quads, right half triangles (2n×n grid) —
+    the tri/quad interface runs vertically through the middle."""
+    from ..mesh.mesh import make_cartesian_2d
+
+    h = make_cartesian_2d(2 * n, n)
+    cent = h.vertices[h.elements].mean(axis=1)
+    left = cent[:, 0] < 0.5
+    quads = h.elements[left]
+    qattr = h.attributes[left]
+    tris = []
+    tattr = []
+    for t, a in zip(h.elements[~left], h.attributes[~left]):
+        tris.append([t[0], t[1], t[2]])
+        tris.append([t[0], t[2], t[3]])
+        tattr += [a, a]
+    return MixedMesh(
+        vertices=h.vertices,
+        blocks=(
+            (Geometry.SQUARE, quads, qattr),
+            (Geometry.TRIANGLE, np.array(tris, dtype=np.int64),
+             np.array(tattr, dtype=np.int64)),
+        ),
+        boundary=h.boundary,
+        bdr_attributes=h.bdr_attributes,
+    )
+
+
+@dataclasses.dataclass(eq=False)
+class MixedFESpace:
+    """H1 space over a MixedMesh: one conforming dof numbering shared by all
+    geometry blocks (entity keys), per-block gather maps + restrictions."""
+
+    mesh: MixedMesh
+    order: int
+
+    def __post_init__(self):
+        p = self.order
+        mesh = self.mesh
+        keys_all = []
+        offs = 0
+        self._block_nd = []
+        for (geom, elems, _a) in mesh.blocks:
+            eids = np.arange(offs, offs + len(elems), dtype=np.int64)
+            k = _elem_node_keys(geom, p, elems.astype(np.int64), eids)
+            keys_all.append(k.reshape(-1, _KEYLEN))
+            self._block_nd.append(k.shape[1])
+            offs += len(elems)
+        flat = np.concatenate(keys_all, axis=0)
+        uniq, ids, _ = encode_rows(flat, None)
+        self.ndof_scalar = int(uniq)
+        self.gather_maps = []
+        pos = 0
+        for (geom, elems, _a), nd in zip(mesh.blocks, self._block_nd):
+            cnt = len(elems) * nd
+            self.gather_maps.append(
+                ids[pos:pos + cnt].reshape(len(elems), nd).astype(np.int32)
+            )
+            pos += cnt
+        self._keys_flat = flat
+        self._ids = ids
+
+        # per-block basis/geometry/restriction
+        self.d2qs, self.gfs, self.dbs, self.restrictions = [], [], [], []
+        for (geom, elems, _a), gm in zip(mesh.blocks, self.gather_maps):
+            d2q = make_dof_to_quad(geom, p)
+            # Q1/P1 geometry from corner vertices (straight elements)
+            sub = Mesh(
+                geom=geom,
+                vertices=mesh.vertices,
+                elements=elems.astype(np.int64),
+                attributes=np.ones(len(elems), dtype=np.int64),
+                boundary=np.zeros((0, 2), dtype=np.int64),
+                bdr_attributes=np.zeros(0, dtype=np.int64),
+            )
+            from .fespace import element_node_coords
+
+            X = element_node_coords(sub, p)
+            self.d2qs.append(d2q)
+            self.gfs.append(compute_geometric_factors(X, d2q))
+            self.dbs.append(device_basis(d2q, str(real_t(None))))
+            self.restrictions.append(
+                ElementRestriction.from_map(gm, self.ndof_scalar)
+            )
+
+    @property
+    def ndof(self) -> int:
+        return self.ndof_scalar
+
+    # ------------------------------------------------------------------
+    def essential_dofs(self, bdr_marker=None) -> np.ndarray:
+        mesh = self.mesh
+        if bdr_marker is None:
+            sel = np.ones(mesh.nbe, dtype=bool)
+        else:
+            sel = np.isin(mesh.bdr_attributes, np.asarray(list(bdr_marker)))
+        bsegs = mesh.boundary[sel]
+        bverts = set(int(v) for v in bsegs.reshape(-1))
+        bedges = set(
+            (min(int(a), int(b)), max(int(a), int(b))) for (a, b) in bsegs
+        )
+        keys = self._keys_flat
+        etype = keys[:, 4] >> 48
+        ess = set()
+        for i in range(len(keys)):
+            t = int(etype[i])
+            if t == _VERT and int(keys[i, 0]) in bverts:
+                ess.add(int(self._ids[i]))
+            elif t == _EDGE and (int(keys[i, 0]), int(keys[i, 1])) in bedges:
+                ess.add(int(self._ids[i]))
+        return np.array(sorted(ess), dtype=np.int32)
+
+    @property
+    def dof_coords(self) -> np.ndarray:
+        out = np.zeros((self.ndof_scalar, self.mesh.vertices.shape[1]))
+        from .fespace import element_node_coords
+
+        for (geom, elems, _a), gm in zip(self.mesh.blocks, self.gather_maps):
+            sub = Mesh(
+                geom=geom, vertices=self.mesh.vertices,
+                elements=elems.astype(np.int64),
+                attributes=np.ones(len(elems), dtype=np.int64),
+                boundary=np.zeros((0, 2), dtype=np.int64),
+                bdr_attributes=np.zeros(0, dtype=np.int64),
+            )
+            X = element_node_coords(sub, self.order)
+            out[gm.reshape(-1)] = X.reshape(-1, X.shape[-1])
+        return out
+
+    def project(self, f) -> jnp.ndarray:
+        return jnp.asarray(f(self.dof_coords), real_t(None))
+
+
+# ----------------------------------------------------------------------------
+# mixed operators
+# ----------------------------------------------------------------------------
+
+
+class MixedPAOperator:
+    """Σ_b Rᵀ_b apply_b(qdata_b, R_b x) with per-block integrator terms."""
+
+    def __init__(self, fes: MixedFESpace, diffusion_coeff=None,
+                 mass_coeff=None):
+        from ..ops import diffusion as dmod
+        from ..ops import mass as mmod
+
+        self.fes = fes
+        self.terms = []
+        for db, gf, R in zip(fes.dbs, fes.gfs, fes.restrictions):
+            blk = []
+            if diffusion_coeff is not None:
+                blk.append(("diffusion", dmod,
+                            dmod.setup(gf, diffusion_coeff)))
+            if mass_coeff is not None:
+                qd = mmod.setup(gf)
+                if callable(mass_coeff):
+                    qd = qd * jnp.asarray(mass_coeff(gf.x), qd.dtype)
+                else:
+                    qd = qd * mass_coeff
+                blk.append(("mass", mmod, qd))
+            self.terms.append((db, R, blk))
+
+    def mult(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = jnp.zeros_like(x)
+        for db, R, blk in self.terms:
+            e = R.mult(x)
+            acc = None
+            for (_n, mod, qd) in blk:
+                t = mod.apply(db, qd, e)
+                acc = t if acc is None else acc + t
+            y = y + R.mult_transpose(acc)
+        return y
+
+    def diagonal(self) -> jnp.ndarray:
+        d = jnp.zeros(self.fes.ndof_scalar, dtype=real_t(None))
+        for db, R, blk in self.terms:
+            acc = None
+            for (_n, mod, qd) in blk:
+                t = mod.diagonal(db, qd)
+                acc = t if acc is None else acc + t
+            d = d + R.mult_transpose(acc)
+        return d
+
+
+def mixed_domain_lf(fes: MixedFESpace, f) -> jnp.ndarray:
+    b = jnp.zeros(fes.ndof_scalar, dtype=real_t(None))
+    for db, gf, R in zip(fes.dbs, fes.gfs, fes.restrictions):
+        fq = jnp.asarray(f(np.asarray(gf.x)), real_t(None))
+        b = b + R.mult_transpose(eval_values_t(db, gf.wdet * fq))
+    return b

@@ -85,10 +85,7 @@ def read_gmsh(path_or_text) -> Tuple[Mesh, AttributeSets]:
     ) else 0
     vol = elems_by_dim[dim]
     bdr = elems_by_dim[dim - 1]
-    geoms = {g for g, _, _ in vol}
-    if len(geoms) != 1:
-        raise NotImplementedError(f"mixed volume geometries: {geoms}")
-    geom = geoms.pop()
+    geoms = sorted({g for g, _, _ in vol})
 
     # compact node numbering
     used = sorted(nodes)
@@ -98,19 +95,45 @@ def read_gmsh(path_or_text) -> Tuple[Mesh, AttributeSets]:
     if dim == 2 and np.allclose(verts[:, 2], verts[0, 2]):
         verts = verts[:, :2]
 
-    elements = np.array([[remap[v] for v in c] for _, _, c in vol],
-                        dtype=np.int64)
-    attributes = np.array([a for _, a, _ in vol], dtype=np.int64)
     if bdr:
-        bgeoms = {g for g, _, _ in bdr}
         boundary = np.array([[remap[v] for v in c] for _, _, c in bdr],
                             dtype=np.int64)
         battrs = np.array([a for _, a, _ in bdr], dtype=np.int64)
     else:
+        boundary = None
+        battrs = np.zeros(0, dtype=np.int64)
+
+    if len(geoms) > 1:
+        # mixed-geometry mesh → per-geometry element blocks (2D)
+        if dim != 2:
+            raise NotImplementedError("mixed 3D volume geometries")
+        from ..fem.mixed import MixedMesh
+
+        blocks = []
+        for g in geoms:
+            rows = [(a, c) for gg, a, c in vol if gg == g]
+            blocks.append((
+                g,
+                np.array([[remap[v] for v in c] for _, c in rows],
+                         dtype=np.int64),
+                np.array([a for a, _ in rows], dtype=np.int64),
+            ))
+        if boundary is None:
+            boundary = np.zeros((0, 2), dtype=np.int64)
+        mesh = MixedMesh(
+            vertices=verts, blocks=tuple(blocks),
+            boundary=boundary, bdr_attributes=battrs,
+        )
+        return mesh, names
+
+    geom = geoms[0]
+    elements = np.array([[remap[v] for v in c] for _, _, c in vol],
+                        dtype=np.int64)
+    attributes = np.array([a for _, a, _ in vol], dtype=np.int64)
+    if boundary is None:
         from ..fem.geometry import FACE_GEOM, NUM_VERTS
 
         boundary = np.zeros((0, NUM_VERTS[FACE_GEOM[geom]]), dtype=np.int64)
-        battrs = np.zeros(0, dtype=np.int64)
 
     mesh = Mesh(
         geom=geom, vertices=verts, elements=elements, attributes=attributes,

@@ -137,10 +137,13 @@ def test_read_gmsh():
     assert len(ess) == 16   # perimeter of the 5x5 node grid
 
 
-def test_gmsh_mixed_mesh_rejected():
-    """compass.msh is a mixed tri+quad mesh — mixed-geometry batching is a
-    tracked round-2 item (SURVEY §7 hard part 5); the reader must say so."""
+def test_gmsh_mixed_mesh_loads():
+    """compass.msh is a mixed tri+quad mesh — loads as MixedMesh with one
+    block per geometry (SURVEY §7 hard part 5, resolved)."""
+    from cardiac_ablation_ecm2_tpu.fem.mixed import MixedMesh
     from cardiac_ablation_ecm2_tpu.io.gmsh import read_gmsh
 
-    with pytest.raises(NotImplementedError, match="mixed"):
-        read_gmsh(f"{DATA}/compass.msh")
+    mesh, _names = read_gmsh(f"{DATA}/compass.msh")
+    assert isinstance(mesh, MixedMesh)
+    assert {str(int(g)) for g, _, _ in mesh.blocks} == {"2", "3"}  # tri+quad
+    assert mesh.ne == 12 and mesh.nbe == 8
