@@ -71,9 +71,8 @@ def read_mfem_mesh(path_or_text) -> Mesh:
             conn.append([int(next_tok()) for _ in range(nv)])
         gset = set(geoms.tolist())
         if len(gset) > 1:
-            raise NotImplementedError(
-                f"mixed-geometry mesh blocks not yet supported: {gset}"
-            )
+            # mixed volume geometries → caller assembles a MixedMesh (2D)
+            return attrs, ("mixed", geoms, conn), None
         return attrs, Geometry(geoms[0]) if n else None, np.array(conn, dtype=np.int64)
 
     while True:
@@ -115,8 +114,33 @@ def read_mfem_mesh(path_or_text) -> Mesh:
         else:
             raise ValueError(f"unknown section {section!r}")
 
-    if elements is None or vertices is None:
+    if vertices is None or (elements is None and not isinstance(geom, tuple)):
         raise ValueError("incomplete mesh file")
+    if isinstance(geom, tuple) and geom[0] == "mixed":
+        # mixed-geometry 2D mesh → per-geometry blocks (fem/mixed.MixedMesh)
+        _tag, geoms, conn = geom
+        if dim != 2:
+            raise NotImplementedError("mixed 3D volume geometries")
+        if nodes_evec is not None:
+            raise NotImplementedError("curved mixed meshes")
+        from ..fem.mixed import MixedMesh
+
+        blocks = []
+        for g in sorted(set(geoms.tolist())):
+            idx = np.nonzero(geoms == g)[0]
+            blocks.append((
+                Geometry(g),
+                np.array([conn[i] for i in idx], dtype=np.int64),
+                attributes[idx],
+            ))
+        return MixedMesh(
+            vertices=vertices,
+            blocks=tuple(blocks),
+            boundary=(boundary if boundary is not None
+                      else np.zeros((0, 2), np.int64)),
+            bdr_attributes=(bdr_attributes if bdr_attributes is not None
+                            else np.zeros(0, np.int64)),
+        )
     return Mesh(
         geom=geom,
         vertices=vertices,
@@ -176,9 +200,27 @@ def _read_nodes_section(toks, nv, geom, elements, attributes):
     assert next_tok() == "Ordering:"
     ordering = int(next_tok())
 
+    if fec.endswith("P1") or fec == "Linear":
+        # order-1 nodes GridFunction ≡ the vertex coordinates (H1_P1 dofs
+        # are MFEM's vertex ids), byNODES ordering
+        vals = []
+        while True:
+            try:
+                vals.append(float(next_tok()))
+            except StopIteration:
+                break
+            if len(vals) == nv * vdim:
+                break
+        arr = np.array(vals)
+        if ordering == 0:          # byNODES: all x, then all y, …
+            verts = arr.reshape(vdim, nv).T
+        else:                      # byVDIM: interleaved
+            verts = arr.reshape(nv, vdim)
+        return verts, None, 1
+
     if not (fec.endswith("P2") or fec == "Quadratic"):
         raise NotImplementedError(
-            f"curved meshes: only order-2 nodes supported, got {fec!r}"
+            f"curved meshes: only order-1/2 nodes supported, got {fec!r}"
         )
     p = 2
     dim = DIMENSION[geom]

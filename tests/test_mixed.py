@@ -121,3 +121,34 @@ def test_gmsh_compass_mixed():
     x, info = cg(Aop, b * (1 - mask), rel_tol=1e-10, max_iter=2000)
     assert bool(info.converged)
     assert float(jnp.abs(x).max()) > 0
+
+
+def test_mfem_v10_mixed_mesh():
+    """square-mixed.mesh (MFEM v1.0 mixed tri+quad with order-1 nodes
+    GridFunction) loads as MixedMesh; Poisson solves; area exact."""
+    import os
+
+    path = "/root/reference/data/square-mixed.mesh"
+    if not os.path.exists(path):
+        pytest.skip("reference data not mounted")
+    from cardiac_ablation_ecm2_tpu.fem.mixed import MixedMesh
+    from cardiac_ablation_ecm2_tpu.io.mesh_io import read_mfem_mesh
+
+    mesh = read_mfem_mesh(path)
+    assert isinstance(mesh, MixedMesh)
+    fes = MixedFESpace(mesh, 2)
+    area = sum(float(np.asarray(gf.wdet).sum()) for gf in fes.gfs)
+    assert np.isclose(area, 1.0, atol=1e-12)
+    op = MixedPAOperator(fes, diffusion_coeff=1.0)
+    b = mixed_domain_lf(fes, lambda x: np.ones(x.shape[:-1]))
+    ess = fes.essential_dofs(None)
+    mask = np.zeros(fes.ndof_scalar)
+    mask[ess] = 1.0
+    mask = jnp.asarray(mask)
+
+    def Aop(x):
+        y = op.mult(x * (1 - mask))
+        return y * (1 - mask) + x * mask
+
+    x, info = cg(Aop, b * (1 - mask), rel_tol=1e-10, max_iter=2000)
+    assert bool(info.converged)
