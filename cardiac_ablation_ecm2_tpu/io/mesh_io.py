@@ -326,11 +326,31 @@ def _read_inline(body: str) -> Mesh:
     raise NotImplementedError(f"inline mesh type {t!r}")
 
 
-def write_mfem_mesh(mesh: Mesh, path: Optional[str] = None) -> str:
-    """Serialize to 'MFEM mesh v1.0' (mesh/mesh.cpp:12288 analog)."""
+def write_mfem_mesh(mesh, path: Optional[str] = None) -> str:
+    """Serialize to 'MFEM mesh v1.0' (mesh/mesh.cpp:12288 analog).
+
+    Accepts both homogeneous ``Mesh`` and ``fem.mixed.MixedMesh`` (one
+    element line per block entry, MFEM geometry ids per row)."""
     out = io.StringIO()
     out.write("MFEM mesh v1.0\n\ndimension\n%d\n" % mesh.dim)
     out.write("\nelements\n%d\n" % mesh.ne)
+    if hasattr(mesh, "blocks"):           # MixedMesh
+        for (geom, elems, attrs) in mesh.blocks:
+            g = int(geom)
+            for attr, conn in zip(attrs, elems):
+                out.write("%d %d %s\n" % (attr, g, " ".join(map(str, conn))))
+        out.write("\nboundary\n%d\n" % mesh.nbe)
+        for attr, conn in zip(mesh.bdr_attributes, mesh.boundary):
+            out.write("%d 1 %s\n" % (attr, " ".join(map(str, conn))))
+        out.write("\nvertices\n%d\n%d\n"
+                  % (mesh.nv, mesh.vertices.shape[1]))
+        for v in mesh.vertices:
+            out.write(" ".join(repr(float(c)) for c in v) + "\n")
+        s2 = out.getvalue()
+        if path is not None:
+            with open(path, "w") as f:
+                f.write(s2)
+        return s2
     g = int(mesh.geom)
     for attr, conn in zip(mesh.attributes, mesh.elements):
         out.write("%d %d %s\n" % (attr, g, " ".join(map(str, conn))))

@@ -25,6 +25,51 @@ _VTK_TYPE = {
 }
 
 # MFEM vertex order == VTK vertex order for these linear cells
+def write_vtu_mixed(mesh, path, point_data=None) -> None:
+    """VTU export for a MixedMesh (one cell batch per geometry block)."""
+    pts = mesh.vertices
+    if pts.shape[1] < 3:
+        pts = np.pad(pts, ((0, 0), (0, 3 - pts.shape[1])))
+    cells, types, offsets = [], [], []
+    off = 0
+    for (geom, elems, _a) in mesh.blocks:
+        vt = _VTK_TYPE[geom]
+        for row in elems:
+            cells.extend(int(v) for v in row)
+            off += len(row)
+            offsets.append(off)
+            types.append(vt)
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?>\n')
+        f.write('<VTKFile type="UnstructuredGrid" version="0.1" '
+                'byte_order="LittleEndian">\n<UnstructuredGrid>\n')
+        f.write(f'<Piece NumberOfPoints="{mesh.nv}" '
+                f'NumberOfCells="{len(types)}">\n')
+        f.write('<Points>\n<DataArray type="Float64" NumberOfComponents="3" '
+                'format="ascii">\n')
+        np.savetxt(f, pts, fmt="%.16g")
+        f.write("</DataArray>\n</Points>\n<Cells>\n")
+        f.write('<DataArray type="Int64" Name="connectivity" format="ascii">\n')
+        f.write(" ".join(map(str, cells)) + "\n")
+        f.write('</DataArray>\n<DataArray type="Int64" Name="offsets" '
+                'format="ascii">\n')
+        f.write(" ".join(map(str, offsets)) + "\n")
+        f.write('</DataArray>\n<DataArray type="UInt8" Name="types" '
+                'format="ascii">\n')
+        f.write(" ".join(map(str, types)) + "\n")
+        f.write("</DataArray>\n</Cells>\n")
+        if point_data:
+            f.write("<PointData>\n")
+            for name, arr in point_data.items():
+                arr = np.asarray(arr).reshape(mesh.nv, -1)
+                f.write(f'<DataArray type="Float64" Name="{name}" '
+                        f'NumberOfComponents="{arr.shape[1]}" format="ascii">\n')
+                np.savetxt(f, arr, fmt="%.16g")
+                f.write("</DataArray>\n")
+            f.write("</PointData>\n")
+        f.write("</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")
+
+
 def write_vtu(
     mesh: Mesh,
     path: str,

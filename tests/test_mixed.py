@@ -152,3 +152,28 @@ def test_mfem_v10_mixed_mesh():
 
     x, info = cg(Aop, b * (1 - mask), rel_tol=1e-10, max_iter=2000)
     assert bool(info.converged)
+
+
+def test_mixed_roundtrip_and_vtu(tmp_path):
+    """MixedMesh → MFEM v1.0 text → read back; VTU export smoke."""
+    from cardiac_ablation_ecm2_tpu.fem.mixed import MixedMesh
+    from cardiac_ablation_ecm2_tpu.io.mesh_io import (
+        read_mfem_mesh,
+        write_mfem_mesh,
+    )
+    from cardiac_ablation_ecm2_tpu.io.vtu import write_vtu_mixed
+
+    mesh = make_mixed_strip(2)
+    text = write_mfem_mesh(mesh)
+    m2 = read_mfem_mesh(text)
+    assert isinstance(m2, MixedMesh)
+    assert m2.ne == mesh.ne and m2.nbe == mesh.nbe
+    assert np.allclose(m2.vertices, mesh.vertices)
+    fes1 = MixedFESpace(mesh, 2)
+    fes2 = MixedFESpace(m2, 2)
+    assert fes1.ndof_scalar == fes2.ndof_scalar
+
+    fn = str(tmp_path / "mixed.vtu")
+    write_vtu_mixed(mesh, fn, point_data={"z": np.zeros(mesh.nv)})
+    txt = open(fn).read()
+    assert txt.count("<Piece") == 1 and "types" in txt
