@@ -118,3 +118,34 @@ def select2(name: str, **kw):
     if name == "wbz":
         return GeneralizedAlpha2Solver.wbz(kw.get("alpha_m", 0.1))
     raise ValueError(name)
+
+
+@dataclasses.dataclass(frozen=True)
+class SIASolver:
+    """Symplectic integration algorithm for separable systems
+    q' = p/…, p' = F(q) (SIAVSolver analog, linalg/ode.hpp:SIA*).
+
+    Operator protocol: ``f.force(t, q) -> dp/dt`` and
+    ``f.velocity(t, p) -> dq/dt``.  Orders 1 (symplectic Euler),
+    2 (velocity Verlet / leapfrog), 4 (Ruth/Forest).
+    """
+
+    order: int = 2
+
+    _COEFFS = {
+        1: ([1.0], [1.0]),
+        2: ([0.5, 0.5], [1.0, 0.0]),
+        4: (
+            [0.675603595979829, -0.175603595979829,
+             -0.175603595979829, 0.675603595979829],
+            [1.351207191959658, -1.702414383919315, 1.351207191959658, 0.0],
+        ),
+    }
+
+    def step(self, f, q, p, t, dt):
+        a, b = self._COEFFS[self.order]
+        for ai, bi in zip(a, b):
+            q = q + (ai * dt) * f.velocity(t, p)
+            if bi != 0.0:
+                p = p + (bi * dt) * f.force(t, q)
+        return q, p, t + dt

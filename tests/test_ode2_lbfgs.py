@@ -116,3 +116,36 @@ def test_lbfgs_rosenbrock():
     u, info = lbfgs(g, jnp.asarray([-1.2, 1.0]), rel_tol=1e-9,
                     max_iter=400, energy=f)
     assert np.abs(np.asarray(u) - 1.0).max() < 1e-4, (u, info)
+
+
+def test_symplectic_energy_conservation():
+    """Harmonic oscillator: SIA conserves energy over long horizons where
+    explicit Euler blows up; order 2 and 4 converge at their rates."""
+    from cardiac_ablation_ecm2_tpu.linalg.ode2 import SIASolver
+
+    class Osc:
+        def velocity(self, t, p):
+            return p
+
+        def force(self, t, q):
+            return -q
+
+    f = Osc()
+
+    def run(order, nsteps, T=20.0):
+        s = SIASolver(order)
+        q, p, t = jnp.asarray(1.0), jnp.asarray(0.0), 0.0
+        for _ in range(nsteps):
+            q, p, t = s.step(f, q, p, t, T / nsteps)
+        return float(q), float(p)
+
+    # long-horizon energy drift stays bounded (symplectic property)
+    q, p = run(2, 2000)
+    E = 0.5 * (q * q + p * p)
+    assert abs(E - 0.5) < 1e-4
+
+    # order-4 beats order-2 at equal step count
+    exact_q = np.cos(20.0)
+    e2 = abs(run(2, 400)[0] - exact_q)
+    e4 = abs(run(4, 400)[0] - exact_q)
+    assert e4 < e2 / 50
