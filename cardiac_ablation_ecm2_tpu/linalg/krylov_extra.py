@@ -142,3 +142,123 @@ def bicgstab(
 
     st = lax.while_loop(cond, body, state0)
     return st[0], SolveInfo(iterations=st[9], final_norm=st[8], converged=st[10])
+
+
+def fgmres(
+    A: Callable,
+    b: jnp.ndarray,
+    x0=None,
+    M: Callable = None,
+    rel_tol: float = 1e-8,
+    abs_tol: float = 0.0,
+    max_iter: int = 200,
+    restart: int = 50,
+    dot: Callable = default_dot,
+):
+    """Flexible GMRES (FGMRESSolver, linalg/solvers.hpp) — right
+    preconditioning with a preconditioner that may CHANGE between
+    applications (e.g. an inner iterative solve), storing the
+    preconditioned basis Z alongside the Krylov basis V."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    prec = M if M is not None else (lambda v: v)
+    n = b.shape[0]
+    m = restart
+    dt = b.dtype
+
+    r0 = b - A(x0)
+    beta0 = jnp.sqrt(dot(r0, r0))
+    target = jnp.maximum(rel_tol * beta0, abs_tol)
+
+    def cycle(x):
+        r = b - A(x)
+        beta = jnp.sqrt(dot(r, r))
+        V = jnp.zeros((m + 1, n), dt).at[0].set(r / jnp.maximum(beta, 1e-300))
+        Z = jnp.zeros((m, n), dt)
+        H = jnp.zeros((m + 1, m), dt)
+        cs = jnp.zeros(m, dt)
+        sn = jnp.zeros(m, dt)
+        g = jnp.zeros(m + 1, dt).at[0].set(beta)
+
+        def step(j, carry):
+            V, Z, H, cs, sn, g, res, done = carry
+
+            def do(carry):
+                V, Z, H, cs, sn, g, res = carry
+                z = prec(V[j])
+                Z2 = Z.at[j].set(z)
+                w = A(z)
+
+                def mgs(i, wh):
+                    w, H = wh
+                    hij = jnp.where(i <= j, dot(w, V[i]), 0.0)
+                    w = w - hij * V[i]
+                    return (w, H.at[i, j].set(hij))
+
+                w, H = lax.fori_loop(0, m + 1, mgs, (w, H))
+                hj1 = jnp.sqrt(dot(w, w))
+                H = H.at[j + 1, j].set(hj1)
+                V2 = V.at[j + 1].set(w / jnp.maximum(hj1, 1e-300))
+
+                def giv(i, H):
+                    t = cs[i] * H[i, j] + sn[i] * H[i + 1, j]
+                    H = H.at[i + 1, j].set(
+                        -sn[i] * H[i, j] + cs[i] * H[i + 1, j])
+                    return H.at[i, j].set(t)
+
+                H = lax.fori_loop(0, j, giv, H)
+                denom = jnp.sqrt(H[j, j] ** 2 + H[j + 1, j] ** 2)
+                c = H[j, j] / jnp.maximum(denom, 1e-300)
+                s = H[j + 1, j] / jnp.maximum(denom, 1e-300)
+                H = H.at[j, j].set(denom).at[j + 1, j].set(0.0)
+                g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
+                return (V2, Z2, H, cs.at[j].set(c), sn.at[j].set(s), g,
+                        jnp.abs(g[j + 1]))
+
+            V, Z, H, cs, sn, g, res = lax.cond(
+                done, lambda c: c, do, (V, Z, H, cs, sn, g, res)
+            )
+            return (V, Z, H, cs, sn, g, res, jnp.logical_or(done,
+                                                            res <= target))
+
+        V, Z, H, cs, sn, g, res, _ = lax.fori_loop(
+            0, m, step, (V, Z, H, cs, sn, g, beta, beta <= target)
+        )
+        # back-substitution on the m×m triangular H (masked for safety)
+        y = jnp.zeros(m, dt)
+
+        def back(i_, y):
+            i = m - 1 - i_
+            num = g[i] - jnp.dot(H[i, :], y)
+            return y.at[i].set(num / jnp.where(H[i, i] == 0, 1.0, H[i, i]))
+
+        y = lax.fori_loop(0, m, back, y)
+        return x + jnp.einsum("j,jn->n", y, Z), res
+
+    def cond(st):
+        x, res, it = st
+        return jnp.logical_and(it < max_iter, res > target)
+
+    def body(st):
+        x, _res, it = st
+        x, res = cycle(x)
+        return (x, res, it + m)
+
+    x, res, it = lax.while_loop(cond, body, (x0, beta0, jnp.int32(0)))
+    return x, SolveInfo(iterations=it, final_norm=res,
+                        converged=res <= target)
+
+
+def ortho_wrap(op: Callable, dot: Callable = default_dot) -> Callable:
+    """OrthoSolver analog (linalg/solvers.hpp:OrthoSolver): wrap an operator
+    (or preconditioner) so inputs/outputs are projected orthogonal to
+    constants — the right setting for pure-Neumann (singular) problems."""
+
+    def proj(v):
+        n = v.shape[0]
+        return v - jnp.sum(v) / n
+
+    def wrapped(v):
+        return proj(op(proj(v)))
+
+    return wrapped
