@@ -399,3 +399,38 @@ def pyramid_basis_matrices(p: int, pts: np.ndarray):
     G[:, 3, 2] = -x * y / s**2
     G[:, 4, 2] = 1.0
     return B, G
+
+
+def bernstein_matrices(p: int, x: np.ndarray):
+    """Bernstein (positive) 1D basis B_i(x) = C(p,i) xⁱ(1−x)^(p−i) and its
+    derivative, evaluated at ``x`` → (B (nx, p+1), G (nx, p+1)).
+
+    Reference analog: the H1Pos/L2Pos collections (``fem/fe/fe_pos.cpp``) —
+    a positive partition of unity on the same entity-lattice dof layout as
+    the nodal basis (edge traces depend only on edge-layer coefficients, so
+    conformity wiring is unchanged); used for bound-preserving limiting and
+    visualization.
+    """
+    from math import comb
+
+    x = np.asarray(x, dtype=np.float64)
+    B = np.zeros((len(x), p + 1))
+    G = np.zeros((len(x), p + 1))
+    for i in range(p + 1):
+        c = comb(p, i)
+        B[:, i] = c * x**i * (1 - x) ** (p - i)
+        # d/dx [x^i (1-x)^(p-i)]
+        t1 = i * x ** max(i - 1, 0) * (1 - x) ** (p - i) if i > 0 else 0.0
+        t2 = ((p - i) * x**i * (1 - x) ** max(p - i - 1, 0)
+              if i < p else 0.0)
+        G[:, i] = c * (t1 - t2)
+    return B, G
+
+
+def nodal_to_bernstein(p: int) -> np.ndarray:
+    """Change-of-basis N (p+1, p+1): Bernstein coefficients = N @ nodal
+    values at the GLL points (exact, both bases span P_p)."""
+    x = h1_nodes_1d(p)
+    Bb, _ = bernstein_matrices(p, x)        # Bernstein evaluated at GLL nodes
+    # nodal values v = Bb @ c  ⇒  c = Bb⁻¹ v
+    return np.linalg.inv(Bb)

@@ -70,3 +70,32 @@ def test_lex_kron_matches_pointwise(p):
         for i in [0, 1, n1 * n1 - 1]:
             ix, iy = i % n1, i // n1
             assert np.isclose(B[q, i], d2q.B1[qx, ix] * d2q.B1[qy, iy])
+
+
+def test_bernstein_positive_basis():
+    """Bernstein basis: positivity, partition of unity, exact P_p
+    representation via the nodal→Bernstein conversion."""
+    from cardiac_ablation_ecm2_tpu.fem.basis import (
+        bernstein_matrices,
+        h1_nodes_1d,
+        nodal_to_bernstein,
+    )
+
+    p = 4
+    x = np.linspace(0, 1, 33)
+    B, G = bernstein_matrices(p, x)
+    assert (B >= -1e-14).all()                        # positivity
+    assert np.abs(B.sum(axis=1) - 1).max() < 1e-13    # partition of unity
+    assert np.abs(G.sum(axis=1)).max() < 1e-12
+
+    # exact representation of a degree-p polynomial
+    f = lambda t: 2 * t**4 - t**2 + 0.3              # noqa: E731
+    v = f(h1_nodes_1d(p))                            # nodal values
+    c = nodal_to_bernstein(p) @ v                    # Bernstein coeffs
+    assert np.abs(B @ c - f(x)).max() < 1e-12
+
+    # derivative consistency (finite differences)
+    h = 1e-6
+    Bp, _ = bernstein_matrices(p, x + h)
+    Bm, _ = bernstein_matrices(p, x - h)
+    assert np.abs((Bp - Bm) / (2 * h) - G).max() < 1e-6
