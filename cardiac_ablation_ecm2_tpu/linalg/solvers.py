@@ -141,7 +141,8 @@ def gmres(
         g = jnp.zeros(m + 1, dt).at[0].set(beta)
 
         def step(j, carry):
-            V, H, cs, sn, g, res, done = carry
+            V, H, cs, sn, g, res, done, cnt = carry
+            cnt = cnt + jnp.where(done, 0, 1).astype(jnp.int32)
 
             def do(carry):
                 V, H, cs, sn, g, res = carry
@@ -179,10 +180,11 @@ def gmres(
                 done, lambda c: c, do, (V, H, cs, sn, g, res)
             )
             done = jnp.logical_or(done, res <= target)
-            return (V, H, cs, sn, g, res, done)
+            return (V, H, cs, sn, g, res, done, cnt)
 
-        V, H, cs, sn, g, res, done = lax.fori_loop(
-            0, m, step, (V, H, cs, sn, g, beta, beta <= target)
+        V, H, cs, sn, g, res, done, ninner = lax.fori_loop(
+            0, m, step,
+            (V, H, cs, sn, g, beta, beta <= target, jnp.int32(0)),
         )
         # back-substitution on the m×m triangular system (masked for early exit)
         y = jnp.zeros(m, dt)
@@ -195,21 +197,25 @@ def gmres(
 
         y = lax.fori_loop(0, m, back, y)
         x_new = x + V[:m].T @ y
-        return x_new, res
+        return x_new, res, ninner
 
     def cond(state):
-        x, res, it, done = state
-        return jnp.logical_and(it < (max_iter + m - 1) // m, jnp.logical_not(done))
+        x, res, it, cyc, done = state
+        return jnp.logical_and(
+            cyc < (max_iter + m - 1) // m, jnp.logical_not(done)
+        )
 
     def body(state):
-        x, res, it, done = state
-        x, res = arnoldi_cycle(x)
-        return (x, res, it + 1, res <= target)
+        x, res, it, cyc, done = state
+        x, res, ninner = arnoldi_cycle(x)
+        return (x, res, it + ninner, cyc + 1, res <= target)
 
-    x, res, it, done = lax.while_loop(
-        cond, body, (x0, beta0, jnp.int32(0), beta0 <= target)
+    x, res, it, cyc, done = lax.while_loop(
+        cond, body, (x0, beta0, jnp.int32(0), jnp.int32(0), beta0 <= target)
     )
-    info = SolveInfo(iterations=it * m, final_norm=res, converged=done)
+    # ``iterations`` counts actual Arnoldi steps taken (MFEM-parity
+    # accounting), not cycles × restart.
+    info = SolveInfo(iterations=it, final_norm=res, converged=done)
     return x, info
 
 
