@@ -6,11 +6,13 @@ Reference analog: the coupled-physics architecture of
 transient, joule_solver.hpp:107) specialized to cardiac RF ablation.
 
 Pipeline per simulation:
-  1. Solve ∇·(σ∇Φ)=0 once (σ constant in round 1; T-dependent σ re-solve is
-     a flagged option re-running the potential solve every ``resolve_every``
-     steps).
+  1. Solve ∇·(σ∇Φ)=0.  With ``sigma_T`` + ``resolve_every=N`` set, the
+     potential is re-solved every N steps with the temperature-dependent
+     conductivity σ(T) (warm-started CG — the joule.cpp field/thermal
+     coupling loop).
   2. Q_rf = σ|∇Φ|² enters the Pennes RHS.
-  3. Implicit SDIRK stepping of T.
+  3. Implicit SDIRK stepping of T; with ``k_T`` set the thermal
+     conductivity k(T) is re-evaluated each step (lagged).
   4. Arrhenius damage integral Ω(t) = ∫ A·exp(−Eₐ/(R·T)) dt accumulated at
      quadrature points; lesion = {Ω ≥ 1} (63% cell death).
 
@@ -61,8 +63,20 @@ class AblationSim:
     dtype: object = None
     #: (nx, ny, nz) to use the structured Cartesian fast path (large meshes)
     cartesian: object = None
+    # -- temperature coupling (joule.cpp-style field re-solve) ----------
+    #: σ(T): callable on a (ne, nq) temperature Q-vector [°C] → σ Q-vector.
+    #: With ``resolve_every`` > 0 the potential is re-solved with σ(T).
+    sigma_T: object = None
+    #: k(T): callable on a temperature Q-vector → thermal-conductivity
+    #: Q-vector; re-evaluated (lagged at the step start) every step.
+    k_T: object = None
+    #: re-run the electrostatic solve every N steps (0 = never; the round-1
+    #: one-shot behavior).  Requires ``sigma_T``.
+    resolve_every: int = 0
 
     def __post_init__(self):
+        if self.resolve_every and self.sigma_T is None:
+            raise ValueError("resolve_every > 0 requires sigma_T")
         fes = None
         if self.cartesian is not None:
             from ..fem.cartesian import CartesianFESpace
@@ -83,17 +97,72 @@ class AblationSim:
         op, solver = self.op, self._solver
         A, Ea = self.arr_A, self.arr_Ea
 
+        def rate(Tl):
+            # Arrhenius damage rate at quadrature points (T in °C)
+            Tq = values_at_quad(self.fes, Tl, dtype=self.dtype)
+            return A * jnp.exp(-Ea / (R_GAS * (Tq + 273.15)))
+
         def _step(T, omega_q, t, dt):
             T2, t2 = solver.step(op, T, t, dt)
-            # trapezoidal Arrhenius accumulation at quadrature points (T in °C)
-            def rate(Tl):
-                Tq = values_at_quad(self.fes, Tl, dtype=self.dtype)
-                return A * jnp.exp(-Ea / (R_GAS * (Tq + 273.15)))
-
+            # trapezoidal Arrhenius accumulation
             omega_q = omega_q + 0.5 * dt * (rate(T) + rate(T2))
             return T2, omega_q, t2
 
         self.step = jax.jit(_step)
+        self._setup_coupled()
+
+    def _setup_coupled(self):
+        """Jitted coupled step with dynamic SAR source and optional k(T)."""
+        from ..fem.build import basis_for, restriction_for
+        from ..fem.quadinterp import eval_values, eval_values_t
+        from ..ops import diffusion, mass
+
+        op, solver = self.op, self._solver
+        fes = self.fes
+        gf = geom_factors_for(fes, dtype=self.dtype)
+        restr = restriction_for(fes)
+        db = basis_for(fes, dtype=self.dtype)
+        A, Ea = self.arr_A, self.arr_Ea
+        k_T = self.k_T
+
+        def _view(T, sar_q):
+            """Operator view with the step's dynamic qdata folded in."""
+            q = op.Mw_qd * self.T_a + gf.wdet * sar_q
+            kw = dict(b_const=restr.mult_transpose(eval_values_t(db, q)))
+            if k_T is not None:
+                Tq = eval_values(db, restr.mult(T))
+                K_qd = diffusion.setup_packed(gf, k_T(Tq))
+                kw["K_qd"] = K_qd
+                kw["A_diag"] = restr.mult_transpose(
+                    diffusion.diagonal(db, K_qd)
+                    + mass.diagonal(db, op.Mw_qd)
+                )
+            return op.override(**kw)
+
+        def rate(Tl):
+            Tq = eval_values(db, restr.mult(Tl))
+            return A * jnp.exp(-Ea / (R_GAS * (Tq + 273.15)))
+
+        def _step_coupled(T, omega_q, t, dt, sar_q):
+            T2, t2 = solver.step(_view(T, sar_q), T, t, dt)
+            omega_q = omega_q + 0.5 * dt * (rate(T) + rate(T2))
+            return T2, omega_q, t2
+
+        self.step_coupled = jax.jit(_step_coupled)
+        if self.resolve_every:
+            self.rf_op = rf_laplace.RFOperator(
+                fes=fes, electrode_bdr=self.electrode_bdr,
+                ground_bdr=self.ground_bdr, voltage=self.voltage,
+                rel_tol=min(self.rel_tol, 1e-8), dtype=self.dtype,
+            )
+
+            def _sigma_q(T):
+                from ..fem.quadinterp import eval_values as ev
+
+                Tq = ev(db, restr.mult(T))
+                return self.sigma_T(Tq)
+
+            self._sigma_q = jax.jit(_sigma_q)
 
     def initial_state(self):
         dt_ = real_t(self.dtype)
@@ -103,13 +172,31 @@ class AblationSim:
         return T, omega_q
 
     def run(self, t_final: float, dt: float, T=None, omega_q=None, t0=0.0):
-        """Advance to t_final; returns (T, omega_q, t)."""
+        """Advance to t_final; returns (T, omega_q, t).
+
+        With ``resolve_every`` > 0 the electrostatic potential is re-solved
+        every N steps with σ(T) (warm-started from the previous Φ), and the
+        updated SAR source feeds the thermal step — the joule.cpp coupling
+        loop.  With ``k_T`` set, the thermal conductivity is re-evaluated
+        from the step-start temperature every step (lagged linearization,
+        the ex16 ``SetParameters`` pattern)."""
         if T is None:
             T, omega_q = self.initial_state()
         t = t0
         n = int(round((t_final - t0) / dt))
-        for _ in range(n):
-            T, omega_q, t = self.step(T, omega_q, t, dt)
+        coupled = bool(self.resolve_every) or self.k_T is not None
+        if not coupled:
+            for _ in range(n):
+                T, omega_q, t = self.step(T, omega_q, t, dt)
+            return T, omega_q, t
+
+        sar_q = self.rf.sar_q
+        phi = self.rf.phi
+        for i in range(n):
+            if self.resolve_every and i % self.resolve_every == 0:
+                phi, sar_q, _ = self.rf_op.resolve(self._sigma_q(T), phi)
+            T, omega_q, t = self.step_coupled(T, omega_q, t, dt, sar_q)
+        self.phi, self.sar_q = phi, sar_q
         return T, omega_q, t
 
     def lesion_volume(self, omega_q) -> float:

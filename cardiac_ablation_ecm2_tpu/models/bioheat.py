@@ -169,6 +169,14 @@ class BioheatOperator:
             self.b_const = self.b_const - self._A_apply(self.T_a * ones)
 
     # ------------------------------------------------------------------
+    def override(self, **kw) -> "BioheatOperator":
+        """Shallow view with some fields (qdata/RHS/diagonals) replaced by
+        traced values — the jit-safe analog of ex16's ``SetParameters(u)``
+        rebuild (``examples/ex16.cpp:291``).  Does NOT rerun __post_init__."""
+        clone = object.__new__(type(self))
+        clone.__dict__ = {**self.__dict__, **kw}
+        return clone
+
     def _apply(self, qd_mass, qd_diff, v):
         e = self.restr.mult(v)
         out = mass.apply(self.db, qd_mass, e) + diffusion.apply(

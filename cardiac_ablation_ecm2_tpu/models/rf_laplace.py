@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,6 +75,91 @@ def solve(
         fes=fes, phi=phi, sar_q=sar_q,
         iterations=int(info.iterations), converged=bool(info.converged),
     )
+
+
+@dataclasses.dataclass(eq=False)
+class RFOperator:
+    """Re-solvable electrostatic operator for temperature-coupled σ(T).
+
+    Reference analog: ``joule.cpp`` re-solves the electric field each step
+    with temperature-dependent conductivity (``joule_solver.hpp:107``,
+    ``miniapps/electromagnetics/joule_solver.cpp`` ``ElectricLosses`` /
+    ``GetJouleHeating``).  Here the potential solve is one jitted function of
+    the conductivity Q-vector, warm-started from the previous potential.
+    """
+
+    fes: FESpace
+    electrode_bdr: Sequence[int] = (1,)
+    ground_bdr: Sequence[int] = (2,)
+    voltage: float = 30.0
+    rel_tol: float = 1e-10
+    max_iter: int = 2000
+    dtype: object = None
+
+    def __post_init__(self):
+        from ..fem.build import basis_for, restriction_for
+        from ..fem.geom_factors import adjugate
+        from ..fem.quadinterp import eval_grad
+        from ..ops import diffusion
+        from ..utils.config import index_t
+
+        fes = self.fes
+        gf = geom_factors_for(fes, dtype=self.dtype)
+        restr = restriction_for(fes)
+        db = basis_for(fes, dtype=self.dtype)
+
+        ess_e = fes.essential_dofs(self.electrode_bdr)
+        ess_g = fes.essential_dofs(self.ground_bdr)
+        ess = jnp.asarray(
+            np.unique(np.concatenate([ess_e, ess_g])), dtype=index_t()
+        )
+        x_bc = jnp.zeros(fes.ndof, dtype=real_t(self.dtype))
+        x_bc = x_bc.at[jnp.asarray(ess_e)].set(self.voltage)
+        rel_tol, max_iter = self.rel_tol, self.max_iter
+
+        def resolve(sigma_q, phi0):
+            """(σ at quad points, warm start) → (Φ, σ|∇Φ|² Q-vector)."""
+            qd = diffusion.setup_packed(gf, sigma_q)
+
+            def raw(v):
+                return restr.mult_transpose(
+                    diffusion.apply(db, qd, restr.mult(v))
+                )
+
+            def lhs(v):
+                z = v.at[ess].set(0.0)
+                y = raw(z).at[ess].set(v[ess])
+                return y
+
+            # eliminate BC values into the RHS (FormLinearSystem analog)
+            b = (-raw(x_bc)).at[ess].set(x_bc[ess])
+            diag = restr.mult_transpose(diffusion.diagonal(db, qd))
+            diag = diag.at[ess].set(1.0)
+            inv = 1.0 / diag
+            phi0 = phi0.at[ess].set(x_bc[ess])
+            phi, info = cg(lhs, b, x0=phi0, M=lambda r: inv * r,
+                           rel_tol=rel_tol, max_iter=max_iter)
+            # SAR = σ|∇Φ|² at quadrature points
+            g = eval_grad(db, restr.mult(phi))         # reference grads
+            A = adjugate(gf.jac)
+            gx = jnp.einsum("eqab,eqa->eqb", A, g) / gf.det[..., None]
+            sar_q = sigma_q * jnp.sum(gx * gx, axis=-1)
+            return phi, sar_q, info
+
+        self.gf = gf
+        self.resolve = jax.jit(resolve)
+        self.phi0 = x_bc
+
+    def sigma_of_T_q(self, sigma_fn, T) -> jnp.ndarray:
+        """Evaluate σ(T) at quadrature points from a nodal T."""
+        Tq = _values_at_quad(self.fes, T, dtype=self.dtype)
+        return sigma_fn(Tq)
+
+
+def _values_at_quad(fes, u, dtype=None):
+    from ..fem.gridfunction import values_at_quad
+
+    return values_at_quad(fes, u, dtype=dtype)
 
 
 def sar(fes, phi, sigma=1.0, dtype=None) -> jnp.ndarray:
