@@ -11,16 +11,17 @@ from ..utils.config import real_t
 from .fespace import element_node_coords
 from .geom_factors import GeometricFactors, compute_geometric_factors
 from .quadinterp import DeviceBasis, device_basis
-from .restriction import ElementRestriction
+from .restriction import ElementRestriction, make_restriction
 
 
 @functools.lru_cache(maxsize=None)
 def restriction_for(fes):
     # Cartesian spaces carry a gather-free structured restriction (TPU fast
-    # path — see fem/cartesian.py); unstructured spaces use gather/segment-sum
+    # path — see fem/cartesian.py); unstructured spaces use the block-gather
+    # restriction on TPU and gather/segment-sum elsewhere.
     if hasattr(fes, "restriction"):
         return fes.restriction
-    return ElementRestriction.for_space(fes)
+    return make_restriction(fes.gather_map, fes.ndof_scalar)
 
 
 @functools.lru_cache(maxsize=None)

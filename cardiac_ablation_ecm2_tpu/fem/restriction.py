@@ -76,3 +76,78 @@ class ElementRestriction:
         return jax.ops.segment_sum(
             ones, self.seg_ids, num_segments=self.ndof, indices_are_sorted=True
         )
+
+
+def _use_fast() -> bool:
+    from ..utils.config import config
+
+    if config.fast_restriction == "on":
+        return True
+    if config.fast_restriction == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+@dataclasses.dataclass(frozen=True)
+class FastElementRestriction(ElementRestriction):
+    """TPU block-gather restriction (see ops/block_gather.py).
+
+    L→E and the deterministic E→L scatter-add both run as block gathers at
+    ~memory bandwidth; E→L is a sum of max-multiplicity "plane" gathers
+    (plane j reads the j-th E-slot of every dof), replacing the
+    segment-sum whose XLA lowering is ~1500× off roofline on TPU.
+    Vector-valued (trailing-dim) inputs fall back to the base path.
+    """
+
+    tg: object = None          # BlockGatherTables, L→E
+    ts: tuple = ()             # per-plane BlockGatherTables, E→L
+
+    @staticmethod
+    def from_map(gather_map: np.ndarray, ndof: int) -> "FastElementRestriction":
+        from ..ops import block_gather as bg
+        from ..utils.native import counting_argsort
+
+        base = ElementRestriction.from_map(gather_map, ndof)
+        flat = np.asarray(gather_map).reshape(-1).astype(np.int64)
+        nidx = flat.size
+        tg = bg.build_tables(flat, ndof)
+        order = counting_argsort(flat, int(ndof) + 1)
+        counts = np.bincount(flat, minlength=ndof)
+        starts = np.zeros(ndof + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        ts = []
+        for k in range(int(counts.max())):
+            gj = np.full(ndof, nidx, dtype=np.int64)     # sentinel -> zero
+            sel = counts > k
+            gj[sel] = order[starts[:-1][sel] + k]
+            ts.append(bg.build_tables(gj, nidx))
+        return FastElementRestriction(
+            ndof=base.ndof, gather=base.gather, perm=base.perm,
+            seg_ids=base.seg_ids, tg=tg, ts=tuple(ts),
+        )
+
+    def mult(self, u: jnp.ndarray) -> jnp.ndarray:
+        if u.ndim != 1:
+            return super().mult(u)
+        from ..ops import block_gather as bg
+
+        ne, nd = self.gather.shape
+        return bg.apply(u, self.tg).reshape(ne, nd)
+
+    def mult_transpose(self, u_e: jnp.ndarray) -> jnp.ndarray:
+        if u_e.ndim != 2:
+            return super().mult_transpose(u_e)
+        from ..ops import block_gather as bg
+
+        flat = u_e.reshape(-1)
+        out = bg.apply(flat, self.ts[0])
+        for t in self.ts[1:]:
+            out = out + bg.apply(flat, t)
+        return out
+
+
+def make_restriction(gather_map: np.ndarray, ndof: int) -> ElementRestriction:
+    """Platform-appropriate restriction (fast block-gather on TPU)."""
+    if _use_fast():
+        return FastElementRestriction.from_map(np.asarray(gather_map), ndof)
+    return ElementRestriction.from_map(np.asarray(gather_map), ndof)

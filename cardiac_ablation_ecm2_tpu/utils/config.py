@@ -48,6 +48,11 @@ class Config:
     #: f32-equivalent), "default" = single-pass bf16 (fast, ~4e-3/product —
     #: unacceptable for the 1e-8-parity targets).
     matmul_precision: str = "highest"
+    #: Unstructured L↔E restriction strategy: "auto" = Pallas block-gather on
+    #: TPU, XLA gather/segment-sum elsewhere; "on"/"off" force it.  (See
+    #: ops/block_gather.py — XLA scalar gathers are ~1500× off roofline on
+    #: TPU.)
+    fast_restriction: str = "auto"
 
 
 config = Config()
