@@ -100,7 +100,7 @@ class FastElementRestriction(ElementRestriction):
     """
 
     tg: object = None          # BlockGatherTables, L→E
-    ts: tuple = ()             # per-plane BlockGatherTables, E→L
+    ts: object = None          # multi-plane BlockGatherTables, E→L
 
     @staticmethod
     def from_map(gather_map: np.ndarray, ndof: int) -> "FastElementRestriction":
@@ -115,15 +115,16 @@ class FastElementRestriction(ElementRestriction):
         counts = np.bincount(flat, minlength=ndof)
         starts = np.zeros(ndof + 1, dtype=np.int64)
         np.cumsum(counts, out=starts[1:])
-        ts = []
+        planes = []
         for k in range(int(counts.max())):
             gj = np.full(ndof, nidx, dtype=np.int64)     # sentinel -> zero
             sel = counts > k
             gj[sel] = order[starts[:-1][sel] + k]
-            ts.append(bg.build_tables(gj, nidx))
+            planes.append(gj)
+        ts = bg.build_tables(planes, nidx)
         return FastElementRestriction(
             ndof=base.ndof, gather=base.gather, perm=base.perm,
-            seg_ids=base.seg_ids, tg=tg, ts=tuple(ts),
+            seg_ids=base.seg_ids, tg=tg, ts=ts,
         )
 
     def mult(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -139,11 +140,7 @@ class FastElementRestriction(ElementRestriction):
             return super().mult_transpose(u_e)
         from ..ops import block_gather as bg
 
-        flat = u_e.reshape(-1)
-        out = bg.apply(flat, self.ts[0])
-        for t in self.ts[1:]:
-            out = out + bg.apply(flat, t)
-        return out
+        return bg.apply(u_e.reshape(-1), self.ts)
 
 
 def make_restriction(gather_map: np.ndarray, ndof: int) -> ElementRestriction:

@@ -11,7 +11,7 @@ from typing import Callable, Optional
 
 import jax.numpy as jnp
 
-from .solvers import power_method
+from .solvers import default_dot, power_method
 
 
 def jacobi(diag: jnp.ndarray, damping: float = 1.0) -> Callable:
@@ -31,6 +31,8 @@ def chebyshev(
     eig_max: Optional[float] = None,
     eig_ratio: float = 30.0,
     power_iters: int = 20,
+    dot: Callable = default_dot,
+    v0: Optional[jnp.ndarray] = None,
 ) -> Callable:
     """Chebyshev-accelerated Jacobi smoother of given polynomial order.
 
@@ -38,7 +40,8 @@ def chebyshev(
     [eig_max/eig_ratio, 1.1·eig_max] of D^{-1}A (hypre-style bounds; the
     reference uses the same PowerMethod estimate).  ``eig_max`` may be passed
     to avoid the setup-time power iteration (e.g. when dt-scaled operators
-    reuse an estimate).
+    reuse an estimate).  Under shard_map pass the sharded ``dot`` and a
+    halo-consistent deterministic ``v0``.
     """
     dinv = 1.0 / diag
 
@@ -47,7 +50,7 @@ def chebyshev(
 
     if eig_max is None:
         eig_max = power_method(DinvA, diag.shape[0], iters=power_iters,
-                               dtype=diag.dtype)
+                               dtype=diag.dtype, dot=dot, v0=v0)
     upper = 1.1 * eig_max
     lower = eig_max / eig_ratio
     theta = 0.5 * (upper + lower)

@@ -220,12 +220,19 @@ def gmres(
 
 
 def power_method(
-    A: Callable, n: int, iters: int = 30, seed: int = 7, dtype=None, dot=default_dot
+    A: Callable, n: int = None, iters: int = 30, seed: int = 7, dtype=None,
+    dot=default_dot, v0: Optional[jnp.ndarray] = None,
 ):
     """Largest-eigenvalue estimate by power iteration (used by Chebyshev —
-    reference: OperatorChebyshevSmoother's PowerMethod, linalg/solvers.cpp)."""
-    key = jax.random.PRNGKey(seed)
-    v = jax.random.uniform(key, (n,), dtype=dtype or jnp.float32)
+    reference: OperatorChebyshevSmoother's PowerMethod, linalg/solvers.cpp).
+
+    Pass ``v0`` for a deterministic start (required under shard_map, where
+    the start must be halo-consistent across devices)."""
+    if v0 is not None:
+        v = v0
+    else:
+        key = jax.random.PRNGKey(seed)
+        v = jax.random.uniform(key, (n,), dtype=dtype or jnp.float32)
 
     def step(_, carry):
         v, lam = carry

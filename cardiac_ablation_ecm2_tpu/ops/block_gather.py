@@ -1,4 +1,4 @@
-"""Block-gather: arbitrary-index gather at memory speed on TPU.
+"""Block-gather: arbitrary-index gather at near-memory speed on TPU.
 
 The fundamental TPU obstacle: XLA lowers scalar gathers (``u[idx]`` with 3M
 arbitrary indices) to ~7 cycles/element — 1500× off the HBM roofline
@@ -10,16 +10,17 @@ fast: (a) XLA gather of whole 128-lane rows (measured at full bandwidth) and
 So we decompose any fixed gather ``out[i] = src[g[i]]`` into
   1. host setup: per output row b of 128 elements, the set of distinct
      128-aligned source blocks (≤ K after a locality-aware numbering);
-     tables ``blk (B, K)`` and ``code (B, 128) = sel<<7 | lane``;
-  2. apply: ``W = src2d[blk]`` — XLA row gather, (B, K, 128);
-  3. a trivial Pallas kernel: ``out[b,l] = W[b, sel[b,l], lane[b,l]]`` as K
+     tables ``blk (K, B)`` and ``code (B, 128) = sel<<7 | lane``;
+  2. apply: ``W = src2d[blk]`` — XLA row gather, (K, B, 128) plane-major so
+     each k-plane is a contiguous (B, 128) tile in the kernel;
+  3. a trivial Pallas kernel: ``out[b,l] = W[sel[b,l], b, lane[b,l]]`` as K
      unrolled lane-gathers + selects.
 
-This is the TPU-native replacement for the reference's ElementRestriction
-gather/scatter indices (``fem/restriction.hpp:50-52``); scatter-add (E→L) is
-expressed as a sum of ≤max-multiplicity plane gathers, making it
-deterministic by construction (the analog of the reference's atomic-free
-transpose, ``fem/restriction.cpp``).
+Scatter-add (E→L) runs through the same kernel with J multiplicity planes
+(plane j reads the j-th E-slot of every dof) summed in-register over ONE
+shared W whose blocks are the per-row UNION across planes — deterministic by
+construction (the analog of the reference's atomic-free transpose,
+``fem/restriction.cpp``; tables replace ``fem/restriction.hpp:50-52``).
 """
 
 from __future__ import annotations
@@ -38,59 +39,84 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class BlockGatherTables:
-    """Device tables for one fixed gather; see module docstring."""
+    """Device tables for one fixed multi-plane gather (J=1 ⇒ plain gather).
+
+    Logical contract: ``out[i] = Σ_j src[g_j[i]]`` where ``g_j == nsrc``
+    means "contributes zero".
+    """
 
     nsrc: int                 # logical source length
     nout: int                 # logical output length
     nsrc_rows: int            # padded source rows (incl. trailing zero row)
-    blk: jnp.ndarray          # (B, K) int32 source-row ids
-    code: jnp.ndarray         # (B, 128) int32: sel << 7 | lane
+    blk: jnp.ndarray          # (K, B) int32 source-row ids (plane-major W)
+    codes: jnp.ndarray        # (J, B, 128) int32: sel << 7 | lane
     K: int
+    J: int
 
 
-def build_tables(g: np.ndarray, nsrc: int) -> BlockGatherTables:
-    """Host-side: build block/code tables for ``out[i] = src[g[i]]``.
+def _row_union_blocks(rblk_planes: np.ndarray, pad_row: int):
+    """rblk_planes (J, B, 128) → per-row sorted unions (B, K) + sel tables.
 
-    Padding positions (beyond len(g), or g == nsrc meaning "zero") read from
-    a dedicated zero row so they contribute exact zeros.
+    Entries equal to ``pad_row`` (the zero row) are allowed and participate
+    like any other block (they always resolve to zeros).
     """
-    g = np.asarray(g, dtype=np.int64).reshape(-1)
-    nout = g.size
-    B = (nout + 127) // 128
-    nsrc_rows = (nsrc + 127) // 128 + 1          # + trailing zero row
-    zero_pos = (nsrc_rows - 1) * 128             # first slot of the zero row
-    gp = np.full(B * 128, zero_pos, dtype=np.int64)
-    gp[:nout] = np.where(g < nsrc, g, zero_pos)
-    rows = gp.reshape(B, 128)
-    rblk = rows // 128
-    lane = rows % 128
-
-    # per-row distinct blocks (vectorized row-wise unique); K = global max
-    srt = np.sort(rblk, axis=1)
+    J, B, _ = rblk_planes.shape
+    allb = rblk_planes.transpose(1, 0, 2).reshape(B, J * 128)
+    srt = np.sort(allb, axis=1)
     isnew = np.concatenate(
         [np.ones((B, 1), bool), srt[:, 1:] != srt[:, :-1]], axis=1
     )
     counts = isnew.sum(axis=1)
     K = int(counts.max())
-    # pad with the zero row, which is the largest row id -> rows stay sorted
-    blk = np.full((B, K), nsrc_rows - 1, dtype=np.int64)
+    blk = np.full((B, K), pad_row, dtype=np.int64)
     rowidx, colpos = np.nonzero(isnew)
     slot = (np.cumsum(isnew, axis=1) - 1)[rowidx, colpos]
     blk[rowidx, slot] = srt[rowidx, colpos]
-    # vectorized per-row searchsorted via row-offset trick
-    big = np.int64(nsrc_rows + 1)
-    sel = (
-        np.searchsorted(
-            (blk + np.arange(B, dtype=np.int64)[:, None] * big).ravel(),
-            (rblk + np.arange(B, dtype=np.int64)[:, None] * big).ravel(),
-        ).reshape(B, 128)
-        - np.arange(B, dtype=np.int64)[:, None] * K
-    ).astype(np.int32)
-    code = (sel << 7) | lane.astype(np.int32)
-    blk = blk.astype(np.int32)
+    # per-row searchsorted via row-offset trick (blk rows are sorted and
+    # padded with pad_row = the largest row id)
+    big = np.int64(pad_row + 2)
+    offs = np.arange(B, dtype=np.int64)[:, None] * big
+    keys = (blk + offs).ravel()
+    sels = np.empty((J, B, 128), dtype=np.int32)
+    for j in range(J):
+        q = (rblk_planes[j] + offs).ravel()
+        sels[j] = (np.searchsorted(keys, q).reshape(B, 128)
+                   - np.arange(B, dtype=np.int64)[:, None] * K)
+    return blk, sels, K
+
+
+def build_tables(g, nsrc: int) -> BlockGatherTables:
+    """Host-side tables for ``out[i] = Σ_j src[g_j[i]]``.
+
+    ``g``: one flat index array (plain gather) or a list of J arrays of the
+    same length (multi-plane scatter-sum).  ``g == nsrc`` reads a zero.
+    """
+    if isinstance(g, (list, tuple)):
+        planes = [np.asarray(a, dtype=np.int64).reshape(-1) for a in g]
+    else:
+        planes = [np.asarray(g, dtype=np.int64).reshape(-1)]
+    J = len(planes)
+    nout = planes[0].size
+    B = (nout + 127) // 128
+    nsrc_rows = (nsrc + 127) // 128 + 1          # + trailing zero row
+    zero_pos = (nsrc_rows - 1) * 128
+    rblk = np.empty((J, B, 128), dtype=np.int64)
+    lane = np.empty((J, B, 128), dtype=np.int64)
+    for j, gj in enumerate(planes):
+        gp = np.full(B * 128, zero_pos, dtype=np.int64)
+        gp[:nout] = np.where(gj < nsrc, gj, zero_pos)
+        rows = gp.reshape(B, 128)
+        rblk[j] = rows // 128
+        lane[j] = rows % 128
+
+    blk, sels, K = _row_union_blocks(rblk, nsrc_rows - 1)
+    codes = (sels << 7) | lane.astype(np.int32)
+    # sel<<7|lane < 128·(K+1): int16 halves index traffic whenever K < 255
+    ctype = np.int16 if 128 * (K + 1) < 2 ** 15 else np.int32
     return BlockGatherTables(
         nsrc=nsrc, nout=nout, nsrc_rows=nsrc_rows,
-        blk=jnp.asarray(blk), code=jnp.asarray(code, jnp.int32), K=K,
+        blk=jnp.asarray(blk.T.copy().astype(np.int32)),   # (K, B)
+        codes=jnp.asarray(codes.astype(ctype)), K=K, J=J,
     )
 
 
@@ -98,14 +124,17 @@ def build_tables(g: np.ndarray, nsrc: int) -> BlockGatherTables:
 # device apply
 # ----------------------------------------------------------------------
 
-def _kernel(w_ref, code_ref, out_ref, *, K):
-    code = code_ref[...]
-    lane = jnp.bitwise_and(code, 127)
-    sel = jnp.right_shift(code, 7)
-    acc = jnp.take_along_axis(w_ref[:, 0, :], lane, axis=1)
-    for k in range(1, K):
-        gk = jnp.take_along_axis(w_ref[:, k, :], lane, axis=1)
-        acc = jnp.where(sel == k, gk, acc)
+def _kernel(w_ref, code_ref, out_ref, *, K, J):
+    acc = None
+    for j in range(J):
+        code = code_ref[j].astype(jnp.int32)
+        lane = jnp.bitwise_and(code, 127)
+        sel = jnp.right_shift(code, 7)
+        pj = jnp.take_along_axis(w_ref[0], lane, axis=1)
+        for k in range(1, K):
+            gk = jnp.take_along_axis(w_ref[k], lane, axis=1)
+            pj = jnp.where(sel == k, gk, pj)
+        acc = pj if acc is None else acc + pj
     out_ref[...] = acc
 
 
@@ -116,43 +145,49 @@ def _pad_src(src: jnp.ndarray, nsrc_rows: int) -> jnp.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("nsrc_rows", "K", "nout",
+@functools.partial(jax.jit, static_argnames=("nsrc_rows", "K", "J", "nout",
                                              "interpret", "row_block"))
-def _apply(src, blk, code, *, nsrc_rows, K, nout, interpret=False,
-           row_block=256):
+def _apply(src, blk, codes, *, nsrc_rows, K, J, nout, interpret=False,
+           row_block=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     src2 = _pad_src(src, nsrc_rows)
-    B = code.shape[0]
-    W = src2[blk]                                  # (B, K, 128) row gather
+    B = codes.shape[1]
+    W = src2[blk]                            # (K, B, 128) plane-major
+    if row_block is None:
+        # keep (W + codes + out) blocks, double-buffered, within ~6 MB VMEM
+        csz = codes.dtype.itemsize
+        per_row = 2 * 128 * (K * src.dtype.itemsize + J * csz
+                             + src.dtype.itemsize)
+        row_block = max(64, min(1024, (6 * 2 ** 20 // per_row) // 64 * 64))
     RB = min(row_block, B)
     nblk = (B + RB - 1) // RB
     if B % RB:
         padb = nblk * RB - B
         W = jnp.concatenate(
-            [W, jnp.zeros((padb,) + W.shape[1:], W.dtype)])
-        code = jnp.concatenate(
-            [code, jnp.zeros((padb, 128), code.dtype)])
+            [W, jnp.zeros((K, padb, 128), W.dtype)], axis=1)
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((J, padb, 128), codes.dtype)], axis=1)
     out = pl.pallas_call(
-        functools.partial(_kernel, K=K),
+        functools.partial(_kernel, K=K, J=J),
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((RB, K, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((K, RB, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 128), lambda i: (i, 0),
+            pl.BlockSpec((J, RB, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((RB, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nblk * RB, 128), src.dtype),
         interpret=interpret,
-    )(W, code)
+    )(W, codes)
     return out.reshape(-1)[:nout]
 
 
 def apply(src: jnp.ndarray, t: BlockGatherTables, *, interpret: bool = False,
-          row_block: int = 256) -> jnp.ndarray:
-    """out[i] = src[g[i]] for the fixed g captured in ``t`` (flat f32)."""
-    return _apply(src, t.blk, t.code, nsrc_rows=t.nsrc_rows, K=t.K,
+          row_block: int = None) -> jnp.ndarray:
+    """out[i] = Σ_j src[g_j[i]] for the fixed maps captured in ``t``."""
+    return _apply(src, t.blk, t.codes, nsrc_rows=t.nsrc_rows, K=t.K, J=t.J,
                   nout=t.nout, interpret=interpret, row_block=row_block)

@@ -67,6 +67,9 @@ def setup(
     max_iter: int = 500,
     dtype=None,
     devices=None,
+    precond: str = "jacobi",      # "jacobi" | "chebyshev"
+    cheb_order: int = 4,
+    cheb_power_iters: int = 12,
 ) -> ParBioheat:
     fes = FESpace(mesh, order)
     if devices is None:
@@ -135,16 +138,24 @@ def setup(
         Xs, gth, pm, sg, sd, ew
     )
 
+    # local → global dof ids, padded with -1 at the trash slot (used for a
+    # deterministic halo-consistent Chebyshev power-iteration start)
+    l2g = np.concatenate(
+        [pf.loc2glob, np.full((ndev, 1), -1, pf.loc2glob.dtype)], axis=1
+    )
+    l2gj = jnp.asarray(l2g)
+
     # ---------------- sharded SDIRK step ------------------------------
     @fpartial(
         shard_map, mesh=dmesh,
-        in_specs=(spec,) * 11 + (P(), P()),
+        in_specs=(spec,) * 12 + (P(), P()),
         out_specs=(spec, P()),
         check_vma=False,
     )
-    def step_fn(T, g, pmi, sgi, sdi, w_dof, qmrc, qmw, qk, bc, dgs, t, dt):
-        T, g, pmi, sgi, sdi, w_dof = (
-            T[0], g[0], pmi[0], sgi[0], sdi[0], w_dof[0]
+    def step_fn(T, g, pmi, sgi, sdi, w_dof, g2l_s, qmrc, qmw, qk, bc, dgs,
+                t, dt):
+        T, g, pmi, sgi, sdi, w_dof, g2l = (
+            T[0], g[0], pmi[0], sgi[0], sdi[0], w_dof[0], g2l_s[0]
         )
         qmrc, qmw, qk, bc, dgs = qmrc[0], qmw[0], qk[0], bc[0], dgs[0]
         ess = essl[lax.axis_index(pops.AXIS)]
@@ -176,7 +187,18 @@ def setup(
             dg = dM + gamma * dA
             dg = dg.at[ess].set(1.0).at[nloc].set(1.0)
             dg = jnp.where(dg == 0.0, 1.0, dg)
-            x, _ = cg(lhs, rhs, M=lambda r: r / dg, rel_tol=rel_tol,
+            if precond == "chebyshev":
+                from ..linalg.smoothers import chebyshev
+
+                # halo-consistent deterministic start for the sharded
+                # power iteration (global dof ids differ per device)
+                v0 = jnp.sin(0.7 + 1.61803 * g2l.astype(dg.dtype))
+                v0 = v0.at[nloc].set(0.0) * (w_dof > 0)
+                M = chebyshev(lhs, dg, order=cheb_order, dot=pdot,
+                              power_iters=cheb_power_iters, v0=v0)
+            else:
+                M = lambda r: r / dg
+            x, _ = cg(lhs, rhs, M=M, rel_tol=rel_tol,
                       max_iter=max_iter, dot=pdot)
             return zero_ess(x)
 
@@ -198,8 +220,8 @@ def setup(
 
     def step(T_loc, t, dt):
         return jit_step(
-            T_loc, gth, pm, sg, sd, dw, qd_mrc, qd_mw, qd_k, b_const, diags,
-            jnp.asarray(t, rt), jnp.asarray(dt, rt),
+            T_loc, gth, pm, sg, sd, dw, l2gj, qd_mrc, qd_mw, qd_k, b_const,
+            diags, jnp.asarray(t, rt), jnp.asarray(dt, rt),
         )
 
     T0 = jnp.full((ndev, nloc + 1), T_a, dtype=rt)

@@ -78,6 +78,9 @@ def setup(
     max_iter: int = 2000,
     dtype=None,
     devices=None,
+    precond: str = "jacobi",      # "jacobi" | "chebyshev"
+    cheb_order: int = 4,
+    cheb_power_iters: int = 12,
 ) -> ParPoisson:
     """Build the sharded solver.  ``rhs``/``kappa`` must be jax-traceable
     callables of physical coordinates (or None)."""
@@ -109,6 +112,9 @@ def setup(
     essl = jnp.asarray(ess_loc)
     nloc = pf.nloc
     perms = pf.perms
+    l2gj = jnp.asarray(np.concatenate(
+        [pf.loc2glob, np.full((pf.ndev, 1), -1, pf.loc2glob.dtype)], axis=1
+    ))
 
     spec = P(pops.AXIS)
 
@@ -153,8 +159,18 @@ def setup(
         dg = jnp.where(dg == 0.0, 1.0, dg)
 
         pdot = pops.make_pdot(w_dof)
+        if precond == "chebyshev":
+            from ..linalg.smoothers import chebyshev
+
+            g2l = l2gj[lax.axis_index(pops.AXIS)]
+            v0 = jnp.sin(0.7 + 1.61803 * g2l.astype(dg.dtype))
+            v0 = v0.at[nloc].set(0.0) * (w_dof > 0)
+            M = chebyshev(A, dg, order=cheb_order, dot=pdot,
+                          power_iters=cheb_power_iters, v0=v0)
+        else:
+            M = lambda r: r / dg
         x, info = cg(
-            A, b, M=lambda r: r / dg, rel_tol=rel_tol, max_iter=max_iter,
+            A, b, M=M, rel_tol=rel_tol, max_iter=max_iter,
             dot=pdot,
         )
         return x[None], info.iterations, info.final_norm
