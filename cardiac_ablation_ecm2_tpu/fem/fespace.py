@@ -341,7 +341,14 @@ def element_node_coords(mesh: Mesh, p: int) -> np.ndarray:
     if mesh.nodes is not None:
         if mesh.nodes_order == p:
             return mesh.nodes
-        raise NotImplementedError("node order conversion")
+        # evaluate the order-q geometry map at the order-p lattice points
+        # (GridFunction::GetNodalValues analog for the nodes field)
+        from .faces import _eval_volume_basis
+
+        q = mesh.nodes_order
+        ref = h1_nodes(geom := mesh.geom, p).astype(np.float64)
+        B = _eval_volume_basis(geom, q, ref)          # (nd_p, nd_q)
+        return np.einsum("pn,ens->eps", B, mesh.nodes)
     geom = mesh.geom
     ref = h1_nodes(geom, p)                       # (nd, dim)
     # Q1/P1 shape functions evaluated at the lattice points

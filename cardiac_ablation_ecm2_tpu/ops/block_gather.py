@@ -124,15 +124,19 @@ def build_tables(g, nsrc: int) -> BlockGatherTables:
 # device apply
 # ----------------------------------------------------------------------
 
-def _kernel(w_ref, code_ref, out_ref, *, K, J):
+def _kernel(*refs, K, J):
+    # refs = K weight planes (RB,128) f32, J code planes (RB,128) int, out
+    w_refs = refs[:K]
+    c_refs = refs[K:K + J]
+    out_ref = refs[K + J]
     acc = None
     for j in range(J):
-        code = code_ref[j].astype(jnp.int32)
+        code = c_refs[j][...].astype(jnp.int32)
         lane = jnp.bitwise_and(code, 127)
         sel = jnp.right_shift(code, 7)
-        pj = jnp.take_along_axis(w_ref[0], lane, axis=1)
+        pj = jnp.take_along_axis(w_refs[0][...], lane, axis=1)
         for k in range(1, K):
-            gk = jnp.take_along_axis(w_ref[k], lane, axis=1)
+            gk = jnp.take_along_axis(w_refs[k][...], lane, axis=1)
             pj = jnp.where(sel == k, gk, pj)
         acc = pj if acc is None else acc + pj
     out_ref[...] = acc
@@ -169,20 +173,18 @@ def _apply(src, blk, codes, *, nsrc_rows, K, J, nout, interpret=False,
             [W, jnp.zeros((K, padb, 128), W.dtype)], axis=1)
         codes = jnp.concatenate(
             [codes, jnp.zeros((J, padb, 128), codes.dtype)], axis=1)
+    # per-plane 2D inputs: large 3D blocks trip Mosaic stack allocation
+    planes = tuple(W[k] for k in range(K)) + tuple(codes[j] for j in range(J))
+    spec2d = pl.BlockSpec((RB, 128), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, K=K, J=J),
         grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((K, RB, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, RB, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((RB, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[spec2d] * (K + J),
+        out_specs=spec2d,
         out_shape=jax.ShapeDtypeStruct((nblk * RB, 128), src.dtype),
         interpret=interpret,
-    )(W, codes)
+    )(*planes)
     return out.reshape(-1)[:nout]
 
 
