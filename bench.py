@@ -54,8 +54,16 @@ def main():
 
     L = 0.04
     mesh = make_cartesian_3d(n, n, n, L, L, L)
-    # structured Cartesian space: gather-free restriction (TPU fast path)
-    fes = CartesianFESpace(mesh, order, (n, n, n), (L, L, L))
+    unstructured = os.environ.get("BENCH_UNSTRUCTURED", "0") == "1"
+    if unstructured:
+        # generic unstructured path: entity-key dof numbering + block-gather
+        # restriction (the path a real cardiac mesh takes)
+        from cardiac_ablation_ecm2_tpu.fem import FESpace
+
+        fes = FESpace(mesh, order)
+    else:
+        # structured Cartesian space: gather-free restriction (fast path)
+        fes = CartesianFESpace(mesh, order, (n, n, n), (L, L, L))
 
     def src(x):
         r2 = sum((x[..., i] - L / 2) ** 2 for i in range(3))
@@ -119,6 +127,7 @@ def main():
             "dtype": dtype,
             "device": str(jax.devices()[0]),
             "solver": "sdirk33+pcg(jacobi)", "rel_tol": tol,
+            "path": "unstructured" if unstructured else "structured",
         },
     }))
 

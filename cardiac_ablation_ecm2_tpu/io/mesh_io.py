@@ -218,11 +218,13 @@ def _read_nodes_section(toks, nv, geom, elements, attributes):
             verts = arr.reshape(nv, vdim)
         return verts, None, 1
 
-    if not (fec.endswith("P2") or fec == "Quadratic"):
-        raise NotImplementedError(
-            f"curved meshes: only order-1/2 nodes supported, got {fec!r}"
-        )
-    p = 2
+    p = _fec_order(fec)
+    if p >= 3:
+        # legacy named collections (Cubic, …) use EQUISPACED nodes; the
+        # H1_* collections use Gauss-Lobatto-based nodes (our convention)
+        uniform = "_" not in fec
+        return _read_nodes_general(toks, nv, geom, elements, p, vdim,
+                                   ordering, uniform_nodes=uniform)
     dim = DIMENSION[geom]
 
     # first-seen entity enumeration with MFEM local tables
@@ -291,6 +293,257 @@ def _read_nodes_section(toks, nv, geom, elements, attributes):
                 gid = nv + nedge + nface + e
             nodes[e, n] = X[gid]
     return vertices, nodes, p
+
+
+def _fec_order(fec: str) -> int:
+    """Order of an H1 FE-collection name ('Cubic', 'H1_3D_P4', …)."""
+    named = {"Linear": 1, "Quadratic": 2, "Cubic": 3}
+    if fec in named:
+        return named[fec]
+    if "_P" in fec:
+        return int(fec.rsplit("_P", 1)[1])
+    raise NotImplementedError(f"nodes FE collection {fec!r}")
+
+
+def _read_nodes_general(toks, nv, geom, elements, p, vdim, ordering,
+                        uniform_nodes=False):
+    """Order-p (p ≥ 3) curved-mesh nodes GridFunction reader.
+
+    MFEM dof layout (fem/fespace.cpp dof enumeration): vertices, then
+    edges ((p−1) dofs each, directed from the lower to the higher global
+    vertex id), then faces (lex in the stored face frame — the first-seen
+    element's local face vertex order, mesh/mesh.cpp GetElementToFaceTable),
+    then element interiors (lex).
+    """
+    from ..fem.basis import lattice_multi_index
+    from ..fem.geometry import DIMENSION, NUM_VERTS, REF_VERTS
+
+    dim = DIMENSION[geom]
+    ne = len(elements)
+
+    # --- entity enumeration (first-seen, mirroring MFEM tables) ----------
+    # each edge's dof direction is the local (a, b) order of the FIRST
+    # element that introduced it (mesh/mesh.cpp GetVertexToVertexTable
+    # insertion order; tet meshes don't show this because edge marking
+    # sorts their connectivity)
+    edge_ids = {}        # sorted key -> (id, (ga, gb) stored direction)
+    for conn in elements:
+        for (a, b) in _MFEM_EDGES[geom]:
+            ga, gb = int(conn[a]), int(conn[b])
+            key = (min(ga, gb), max(ga, gb))
+            if key not in edge_ids:
+                edge_ids[key] = (len(edge_ids), (ga, gb))
+    nedge = len(edge_ids)
+
+    face_ids = {}          # sorted key -> (id, stored corner tuple)
+    tri_faces = geom == Geometry.TETRAHEDRON
+    if geom == Geometry.CUBE:
+        for conn in elements:
+            for f in _MFEM_FACES[geom]:
+                fv = tuple(int(conn[v]) for v in f)
+                key = tuple(sorted(fv))
+                if key not in face_ids:
+                    face_ids[key] = (len(face_ids), fv)
+    elif tri_faces:
+        for conn in elements:
+            for f in _MFEM_TET_FACES:
+                fv = tuple(int(conn[v]) for v in f)
+                key = tuple(sorted(fv))
+                if key not in face_ids:
+                    face_ids[key] = (len(face_ids), fv)
+    nface = len(face_ids)
+
+    per_edge = p - 1
+    if geom == Geometry.CUBE:
+        per_face, per_int = (p - 1) ** 2, (p - 1) ** 3
+    elif geom == Geometry.SQUARE:
+        per_face, per_int = 0, (p - 1) ** 2
+    elif geom == Geometry.TETRAHEDRON:
+        per_face = (p - 1) * (p - 2) // 2
+        per_int = (p - 1) * (p - 2) * (p - 3) // 6
+    elif geom == Geometry.TRIANGLE:
+        per_face, per_int = 0, (p - 1) * (p - 2) // 2
+    else:
+        raise NotImplementedError(geom)
+    ndof = nv + nedge * per_edge + nface * per_face + ne * per_int
+
+    vals = np.array([float(next(toks)) for _ in range(ndof * vdim)])
+    X = vals.reshape(vdim, ndof).T if ordering == 0 else vals.reshape(
+        ndof, vdim)
+    vertices = X[:nv].copy()
+
+    # --- lattice → dof id -------------------------------------------------
+    mi = lattice_multi_index(geom, p)
+    latt_v = np.rint(REF_VERTS[geom] * p).astype(np.int64)
+    corner_of = {tuple(latt_v[v]): v for v in range(NUM_VERTS[geom])}
+
+    # classify every lattice point once: on which entity does it live?
+    def classify(latt):
+        latt = np.asarray(latt)
+        if tuple(latt) in corner_of:
+            return ("v", corner_of[tuple(latt)])
+        for le, (a, b) in enumerate(_MFEM_EDGES[geom]):
+            va, vb = latt_v[a], latt_v[b]
+            d = vb - va
+            tpar = None
+            for t in range(1, p):
+                if np.array_equal(va + (d * t) // p, latt) and np.array_equal(
+                        (d * t) % p, np.zeros(dim, np.int64)):
+                    tpar = t
+                    break
+            if tpar is not None:
+                return ("e", le, a, b, tpar)
+        if geom == Geometry.CUBE:
+            for lf, f in enumerate(_MFEM_FACES[geom]):
+                vs = latt_v[list(f)]
+                # on the face plane?
+                normal_ax = [d for d in range(3)
+                             if len(set(vs[:, d])) == 1]
+                if len(normal_ax) == 1 and latt[normal_ax[0]] == vs[0, normal_ax[0]]:
+                    return ("f", lf, f)
+        elif tri_faces:
+            for lf, f in enumerate(_MFEM_TET_FACES):
+                # barycentric: on face ⇔ opposite-vertex coordinate is 0
+                opp = ({0, 1, 2, 3} - set(f)).pop()
+                bar = _tet_bary(latt, p)
+                if bar[opp] == 0:
+                    return ("f", lf, f)
+        return ("i",)
+
+    kinds = [classify(latt) for latt in mi]
+
+    # interior enumeration index for each interior lattice point: lex for
+    # H1_* collections; the legacy LagrangeHexFiniteElement (p=3) orders
+    # each z-layer counterclockwise ((1,1),(2,1),(2,2),(1,2) — see
+    # fe_fixed_order.cpp:3192-3199)
+    int_pts = [n for n, k in enumerate(kinds) if k[0] == "i"]
+    if uniform_nodes and geom == Geometry.CUBE and p == 3:
+        ccw = [(1, 1), (2, 1), (2, 2), (1, 2)]
+        order = sorted(
+            int_pts,
+            key=lambda n: (mi[n][2], ccw.index((int(mi[n][0]),
+                                                int(mi[n][1])))),
+        )
+        int_index = {n: i for i, n in enumerate(order)}
+    else:
+        int_index = {n: i for i, n in enumerate(int_pts)}
+    assert len(int_pts) == per_int, (len(int_pts), per_int)
+
+    nodes = np.zeros((ne, len(mi), vdim))
+    for e, conn in enumerate(elements):
+        conn = [int(v) for v in conn]
+        for n, k in zip(range(len(mi)), kinds):
+            latt = mi[n]
+            if k[0] == "v":
+                gid = conn[k[1]]
+            elif k[0] == "e":
+                _, le, a, b, t = k
+                ga, gb = conn[a], conn[b]
+                eid, stored_dir = edge_ids[(min(ga, gb), max(ga, gb))]
+                # edge dofs are stored in the min→max global-vertex
+                # direction (verified against the file data directly:
+                # 51/51 edges of fichera-q3)
+                idx = (t - 1) if ga < gb else (p - 1 - t)
+                gid = nv + eid * per_edge + idx
+            elif k[0] == "f":
+                lf, f = k[1], k[2]
+                my = [conn[v] for v in f]
+                fid, stored = face_ids[tuple(sorted(my))]
+                if geom == Geometry.CUBE:
+                    idx = _quad_face_index(latt, latt_v[list(f)], my,
+                                           stored, p)
+                else:
+                    idx = _tri_face_index(latt, f, my, stored, p)
+                gid = nv + nedge * per_edge + fid * per_face + idx
+            else:
+                gid = (nv + nedge * per_edge + nface * per_face
+                       + e * per_int + int_index[n])
+            nodes[e, n] = X[gid]
+
+    if uniform_nodes:
+        # file dofs sit at the EQUISPACED lattice (legacy Cubic/… FECs);
+        # resample onto our Gauss-Lobatto-based node positions by
+        # evaluating the uniform-node interpolant there
+        from ..fem.basis import h1_nodes
+
+        ours = h1_nodes(geom, p)
+        unif = mi.astype(np.float64) / p
+        B = _nodal_basis_at(geom, p, unif, ours)       # (nd, nd)
+        nodes = np.einsum("mn,ens->ems", B, nodes)
+    return vertices, nodes, p
+
+
+def _nodal_basis_at(geom, p, node_pts, eval_pts):
+    """Nodal basis on ``node_pts`` evaluated at ``eval_pts`` (generalized
+    Vandermonde solve; exact for the element's polynomial space)."""
+    from ..fem.basis import lattice_multi_index
+
+    mi = lattice_multi_index(geom, p)
+
+    def mono(pts):
+        # monomial basis spanning the element space (tensor / total degree)
+        cols = []
+        for mexp in mi:
+            v = np.ones(len(pts))
+            for d, e_ in enumerate(mexp):
+                v = v * pts[:, d] ** int(e_)
+            cols.append(v)
+        return np.stack(cols, axis=1)
+
+    V = mono(np.asarray(node_pts, dtype=np.float64))
+    E = mono(np.asarray(eval_pts, dtype=np.float64))
+    return np.linalg.solve(V.T, E.T).T
+
+
+_MFEM_TET_FACES = [(1, 2, 3), (0, 3, 2), (0, 1, 3), (0, 2, 1)]
+
+
+def _tet_bary(latt, p):
+    i, j, k = int(latt[0]), int(latt[1]), int(latt[2])
+    return (p - i - j - k, i, j, k)    # w.r.t. vertices 0,1,2,3
+
+
+def _quad_face_index(latt, face_latt, my_ids, stored_ids, p):
+    """Lex dof index of a quad-face lattice point in the STORED face frame.
+
+    ``face_latt``: lattice coords of my 4 face corners (my frame order);
+    ``my_ids``/``stored_ids``: global vertex ids in my / stored order.
+    """
+    # my (u, v) in 1..p-1 along (c1-c0, c3-c0)
+    c0, c1, c3 = face_latt[0], face_latt[1], face_latt[3]
+    eu = (c1 - c0) // p
+    ev = (c3 - c0) // p
+    rel = np.asarray(latt) - c0
+    u = int(rel @ eu)
+    v = int(rel @ ev)
+    # map to stored frame: stored corner q has quad coords Q[q]
+    Q = [(0, 0), (p, 0), (p, p), (0, p)]
+    pos = {g: Q[q] for q, g in enumerate(stored_ids)}
+    P0 = np.array(pos[my_ids[0]])
+    Pu = (np.array(pos[my_ids[1]]) - P0) // p
+    Pv = (np.array(pos[my_ids[3]]) - P0) // p
+    up, vp = P0 + u * Pu + v * Pv
+    return (int(vp) - 1) * (p - 1) + (int(up) - 1)
+
+
+def _tri_face_index(latt, f, my_ids, stored_ids, p):
+    """Lex dof index of a tet tri-face lattice point in the stored frame.
+
+    MFEM tri-face interior dofs: barycentric loops (for j, for i) w.r.t. the
+    stored corner order (s0, s1, s2): point = s0 + i·(s1−s0)/p + j·(s2−s0)/p,
+    i ≥ 1, j ≥ 1, i + j ≤ p − 1.
+    """
+    bar = _tet_bary(latt, p)
+    # barycentric weight per my-face corner
+    w = {g: bar[v] for g, v in zip(my_ids, f)}
+    b1 = w[stored_ids[1]]
+    b2 = w[stored_ids[2]]
+    i, j = b1, b2
+    # lex index over interior points (i>=1, j>=1, i+j<=p-1)
+    idx = 0
+    for jj in range(1, j):
+        idx += (p - 1 - jj)
+    return idx + (i - 1)
 
 
 def _read_inline(body: str) -> Mesh:

@@ -54,3 +54,31 @@ def test_vtk_curved_solve():
     res = poisson.solve(mesh, order=2, rel_tol=1e-10)
     assert res.converged
     assert np.isfinite(np.asarray(res.u)).all()
+
+
+def test_order3_curved_mfem_meshes():
+    """Order-3 legacy (Cubic) curved meshes: volumes match MFEM's own
+    integration (golden values from an order-12 rule via libmfem) and all
+    Jacobians stay positive."""
+    golden = {"escher-p3": 6.49821385476, "fichera-q3": 7.00270342516}
+    for name, gv in golden.items():
+        m = read_mfem_mesh(f"{DATA}/{name}.mesh")
+        assert m.nodes_order == 3
+        vol, det = _vol(m, 3)
+        assert det > 0.0, (name, det)
+        assert abs(vol - gv) < 1e-9 * gv, (name, vol, gv)
+
+
+def test_order3_nodes_conforming():
+    """Shared-entity node coords agree across elements (decode consistency)."""
+    from cardiac_ablation_ecm2_tpu.fem.restriction import ElementRestriction
+
+    for name in ("escher-p3", "fichera-q3"):
+        m = read_mfem_mesh(f"{DATA}/{name}.mesh")
+        fes = FESpace(m, 3)
+        r = ElementRestriction.for_space(fes)
+        cnt = np.asarray(r.counts()).clip(1)
+        for c in range(m.nodes.shape[2]):
+            e = jnp.asarray(m.nodes[:, :, c])
+            avg = r.mult(r.mult_transpose(e) / cnt)
+            assert float(jnp.abs(e - avg).max()) < 1e-12
