@@ -36,12 +36,45 @@ from .intrules import tensor_rule
 # ----------------------------------------------------------------------------
 
 
+def _simplex_barycentric(geom: Geometry, pts: np.ndarray):
+    """λ values and (constant) gradients for tri/tet reference elements."""
+    dim = DIMENSION[geom]
+    lam = np.concatenate(
+        [1.0 - pts.sum(axis=1, keepdims=True), pts], axis=1
+    )                                               # (nq, dim+1)
+    grad = np.concatenate(
+        [-np.ones((1, dim)), np.eye(dim)], axis=0
+    )                                               # (dim+1, dim)
+    return lam, grad
+
+
 @functools.lru_cache(maxsize=None)
 def nd0_basis(geom: Geometry, nq1d: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """ND0 reference basis: returns (points (nq,dim), B (nq,ne_loc,dim),
     CURL (nq, ne_loc, ncurl)) with local edge functions oriented along the
     local EDGES direction (la → lb); ncurl = 1 (2D) or 3 (3D)."""
     dim = DIMENSION[geom]
+    if geom in (Geometry.TRIANGLE, Geometry.TETRAHEDRON):
+        # Whitney edge functions W_ab = λ_a ∇λ_b − λ_b ∇λ_a
+        # (ND_TriangleElement / ND_TetrahedronElement order 1,
+        # fem/fe/fe_nd.cpp; dof = edge-vector-weighted tangential moment)
+        from .intrules import simplex_rule
+
+        pts, _ = simplex_rule(dim, 2 * nq1d - 1)
+        lam, grad = _simplex_barycentric(geom, pts)
+        edges = EDGES[geom]
+        nd = len(edges)
+        ncurl = 1 if dim == 2 else 3
+        B = np.zeros((len(pts), nd, dim))
+        C = np.zeros((len(pts), nd, ncurl))
+        for k, (a, b) in enumerate(edges):
+            B[:, k] = lam[:, a, None] * grad[b] - lam[:, b, None] * grad[a]
+            if dim == 2:
+                C[:, k, 0] = 2.0 * (grad[a][0] * grad[b][1]
+                                    - grad[a][1] * grad[b][0])
+            else:
+                C[:, k] = 2.0 * np.cross(grad[a], grad[b])
+        return pts, B, C
     pts, _ = tensor_rule(dim, nq1d)
     edges = EDGES[geom]
     rv = REF_VERTS[geom]
@@ -93,8 +126,28 @@ def _levi(i, j, k):
 @functools.lru_cache(maxsize=None)
 def rt0_basis(geom: Geometry, nq1d: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """RT0 reference basis: (points, B (nq,nf_loc,dim), DIV (nq,nf_loc)),
-    oriented along each local face's OUTWARD normal."""
+    oriented along each local face's OUTWARD normal (unit total flux)."""
     dim = DIMENSION[geom]
+    if geom in (Geometry.TRIANGLE, Geometry.TETRAHEDRON):
+        # φ_f = (x − v_opp) / (dim · V_ref): unit outward flux through f,
+        # zero through the faces containing v_opp (RT_TriangleElement /
+        # RT_TetrahedronElement order 0, fem/fe/fe_rt.cpp)
+        from .intrules import simplex_rule
+
+        pts, _ = simplex_rule(dim, 2 * nq1d - 1)
+        rv = REF_VERTS[geom]
+        faces = FACES[geom]
+        vref = 0.5 if dim == 2 else 1.0 / 6.0
+        c = 1.0 / (dim * vref)
+        nf = len(faces)
+        B = np.zeros((len(pts), nf, dim))
+        D = np.zeros((len(pts), nf))
+        allv = set(range(dim + 1))
+        for k, fverts in enumerate(faces):
+            opp = (allv - set(fverts)).pop()
+            B[:, k] = c * (pts - rv[opp])
+            D[:, k] = c * dim
+        return pts, B, D
     pts, _ = tensor_rule(dim, nq1d)
     faces = FACES[geom]
     rv = REF_VERTS[geom]
@@ -186,15 +239,22 @@ class RTSpace:
             signs = np.zeros((ne, len(loc_faces)))
             cent = V[mesh.elements].mean(axis=1)
             for lf, fverts in enumerate(loc_faces):
-                gf = mesh.elements[:, list(fverts)]        # (ne, 4) cyclic
-                r = np.argmin(gf, axis=1)
-                nxt = gf[np.arange(ne), (r + 1) % 4]
-                prv = gf[np.arange(ne), (r - 1) % 4]
-                d = np.where(nxt < prv, 1, -1)
-                g0 = gf[np.arange(ne), r]
-                g1 = gf[np.arange(ne), (r + d) % 4]
-                g3 = gf[np.arange(ne), (r - d) % 4]
-                n_canon = np.cross(V[g1] - V[g0], V[g3] - V[g0])
+                gf = mesh.elements[:, list(fverts)]        # (ne, nfv) cyclic
+                nfv = gf.shape[1]
+                if nfv == 3:
+                    # canonical tri-face normal from the sorted vertex triple
+                    s = np.sort(gf, axis=1)
+                    n_canon = np.cross(V[s[:, 1]] - V[s[:, 0]],
+                                       V[s[:, 2]] - V[s[:, 0]])
+                else:
+                    r = np.argmin(gf, axis=1)
+                    nxt = gf[np.arange(ne), (r + 1) % nfv]
+                    prv = gf[np.arange(ne), (r - 1) % nfv]
+                    d = np.where(nxt < prv, 1, -1)
+                    g0 = gf[np.arange(ne), r]
+                    g1 = gf[np.arange(ne), (r + d) % nfv]
+                    g3 = gf[np.arange(ne), (r - d) % nfv]
+                    n_canon = np.cross(V[g1] - V[g0], V[g3] - V[g0])
                 mid = V[gf].mean(axis=1)
                 outward = mid - cent
                 signs[:, lf] = np.where(

@@ -177,14 +177,18 @@ def _apply(src, blk, codes, *, nsrc_rows, K, J, nout, interpret=False,
     planes = tuple(W[k] for k in range(K)) + tuple(codes[j] for j in range(J))
     spec2d = pl.BlockSpec((RB, 128), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_kernel, K=K, J=J),
-        grid=(nblk,),
-        in_specs=[spec2d] * (K + J),
-        out_specs=spec2d,
-        out_shape=jax.ShapeDtypeStruct((nblk * RB, 128), src.dtype),
-        interpret=interpret,
-    )(*planes)
+    # trace the kernel with x64 disabled: under jax_enable_x64 the
+    # take_along_axis index normalization promotes to int64, which Mosaic
+    # cannot lower
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_kernel, K=K, J=J),
+            grid=(nblk,),
+            in_specs=[spec2d] * (K + J),
+            out_specs=spec2d,
+            out_shape=jax.ShapeDtypeStruct((nblk * RB, 128), src.dtype),
+            interpret=interpret,
+        )(*planes)
     return out.reshape(-1)[:nout]
 
 
