@@ -1,0 +1,143 @@
+"""Roofline accounting for the flagship bioheat step (VERDICT r1 weak-2).
+
+Reports per-apply wall time, XLA-counted FLOPs and bytes, achieved GB/s and
+GFLOP/s vs v5e peaks (~819 GB/s HBM, ~197 TFLOPS bf16 / ~49 TFLOPS f32
+MXU), and CG iterations per SDIRK stage.
+
+Usage: python benchmarks/roofline.py [--n 48] [--order 2] [--unstructured]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+V5E_HBM_GBS = 819.0
+V5E_F32_TFLOPS = 49.0
+
+
+def timeit(f, *args, reps=30):
+    import jax
+
+    out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def cost(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return ca.get("flops", 0.0), ca.get("bytes accessed", 0.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=48)
+    ap.add_argument("--order", type=int, default=2)
+    ap.add_argument("--unstructured", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from cardiac_ablation_ecm2_tpu.fem import FESpace
+    from cardiac_ablation_ecm2_tpu.fem.cartesian import CartesianFESpace
+    from cardiac_ablation_ecm2_tpu.linalg import ode
+    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_3d
+    from cardiac_ablation_ecm2_tpu.models import bioheat
+    from cardiac_ablation_ecm2_tpu.utils.config import configure
+
+    configure(dtype="float32", matmul_precision="high", quad_extra=0)
+    n, order = args.n, args.order
+    L = 0.04
+    mesh = make_cartesian_3d(n, n, n, L, L, L)
+    if args.unstructured:
+        fes = FESpace(mesh, order)
+    else:
+        fes = CartesianFESpace(mesh, order, (n, n, n), (L, L, L))
+
+    def src(x):
+        r2 = sum((x[..., i] - L / 2) ** 2 for i in range(3))
+        return 1e6 * jnp.exp(-r2 / (L / 8) ** 2)
+
+    op = bioheat.BioheatOperator(
+        fes=fes, rho_c=3.6e6, k=0.54, w_cb=2e4, T_a=37.0, q_met=src,
+        ess_bdr=[1, 2, 3, 4, 5, 6], rel_tol=1e-5, max_iter=300,
+        dtype="float32", fused_setup=not args.unstructured, theta_form=True,
+    )
+
+    u = jnp.zeros(fes.ndof, jnp.float32)
+
+    # -- operator apply: (M_rc + gamma A) v  (the CG hot loop body)
+    gamma = jnp.float32(0.1)
+
+    def apply_once(v):
+        return op._Mrc_apply(v) + gamma * op._A_apply(v)
+
+    japply = jax.jit(apply_once)
+    lowered = japply.lower(u)
+    compiled = lowered.compile()
+    fl, by = cost(compiled)
+    t_apply = timeit(japply, u)
+    print(f"apply: {t_apply*1e3:8.3f} ms | XLA {fl/1e9:7.2f} GFLOP "
+          f"{by/1e9:7.3f} GB | achieved {fl/t_apply/1e12:6.2f} TFLOP/s "
+          f"({100*fl/t_apply/1e12/V5E_F32_TFLOPS:4.1f}% f32 peak), "
+          f"{by/t_apply/1e9:6.1f} GB/s ({100*by/t_apply/1e9/V5E_HBM_GBS:4.1f}%"
+          f" HBM peak)")
+
+    # -- CG iterations per stage + full step time
+    solver = ode.select("sdirk33")
+
+    @jax.jit
+    def step(T, t, dt):
+        return solver.step(op, T, t, dt)
+
+    T0 = jnp.zeros(fes.ndof, jnp.float32)
+    T1, _ = step(T0, jnp.float32(0), jnp.float32(0.25))
+    jax.block_until_ready(T1)
+    t_step = timeit(step, T0, jnp.float32(0), jnp.float32(0.25), reps=5)
+
+    # iterations per stage: call implicit_solve directly with info
+    from cardiac_ablation_ecm2_tpu.linalg.solvers import cg as cg_fn
+
+    def stage_iters(gamma_v, T):
+        rhs = op._zero_ess(op.residual(T))
+
+        def lhs(v):
+            z = op._zero_ess(v)
+            y = op._Mrc_apply(z) + gamma_v * op._A_apply(z)
+            return op._zero_ess(y) + (v - z)
+
+        diag = op.Mrc_diag + gamma_v * op.A_diag
+        diag = diag.at[op.ess].set(1.0) if op.has_ess else diag
+        inv = 1.0 / diag
+        _, info = cg_fn(lhs, rhs, M=lambda r: inv * r, rel_tol=op.rel_tol,
+                        max_iter=op.max_iter)
+        return info.iterations
+
+    tab = solver.tableau
+    g0 = float(tab.a[0, 0]) * 0.25
+    it0 = int(jax.jit(stage_iters)(jnp.float32(g0), T0))
+    print(f"step:  {t_step*1e3:8.2f} ms | stage-1 CG iters {it0} "
+          f"(x{tab.stages} stages) | apply share "
+          f"≈ {100*it0*tab.stages*t_apply/t_step:4.0f}%")
+    ca = compiled.memory_analysis()
+    if ca is not None:
+        print(f"memory: argument {getattr(ca,'argument_size_in_bytes',0)/1e6:.1f} MB "
+              f"output {getattr(ca,'output_size_in_bytes',0)/1e6:.1f} MB "
+              f"temp {getattr(ca,'temp_size_in_bytes',0)/1e6:.1f} MB")
+
+
+if __name__ == "__main__":
+    main()

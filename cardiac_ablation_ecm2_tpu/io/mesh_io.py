@@ -43,6 +43,10 @@ def read_mfem_mesh(path_or_text) -> Mesh:
     header, _, rest = text.partition("\n")
     if "MFEM INLINE mesh v1.0" in header:
         return _read_inline(rest)
+    if "MFEM NC mesh v1." in header:
+        from .ncmesh_io import read_ncmesh
+
+        return read_ncmesh(text)
     if "MFEM mesh v1." not in header:
         raise ValueError(f"unsupported mesh header: {header!r}")
 
