@@ -231,10 +231,12 @@ def discrete_curl(nd_space: NDSpace, rt_space: RTSpace):
     nfaces = len(faces)
 
     # canonical cycle per unique face from its first incident element (the
-    # canonical frame is element-independent)
-    cyc = np.zeros((nfaces, 4), dtype=np.int64)
-    seen = np.zeros(nfaces, dtype=bool)
+    # canonical frame is element-independent; for tri faces the argmin
+    # cycle equals the sorted triple — the RTSpace normal convention)
     loc_faces = FACES[mesh.geom]
+    nfv = len(loc_faces[0])
+    cyc = np.zeros((nfaces, nfv), dtype=np.int64)
+    seen = np.zeros(nfaces, dtype=bool)
     for e in range(mesh.ne):
         for lf, fverts in enumerate(loc_faces):
             fid = elem_face[e, lf]
@@ -247,11 +249,11 @@ def discrete_curl(nd_space: NDSpace, rt_space: RTSpace):
             cyc[fid] = [gids[(r + d * i) % k] for i in range(k)]
             seen[fid] = True
 
-    edge_ids = np.zeros((nfaces, 4), dtype=np.int64)
-    signs = np.zeros((nfaces, 4))
+    edge_ids = np.zeros((nfaces, nfv), dtype=np.int64)
+    signs = np.zeros((nfaces, nfv))
     for i in range(nfaces):
-        for j in range(4):
-            a, b = int(cyc[i, j]), int(cyc[i, (j + 1) % 4])
+        for j in range(nfv):
+            a, b = int(cyc[i, j]), int(cyc[i, (j + 1) % nfv])
             edge_ids[i, j] = edge_id[(a, b) if a < b else (b, a)]
             signs[i, j] = 1.0 if a < b else -1.0
 
@@ -264,6 +266,32 @@ def discrete_curl(nd_space: NDSpace, rt_space: RTSpace):
         return jnp.sum(E[eid] * sg, axis=1)
 
     return C
+
+
+def discrete_divergence(rt_space: RTSpace, l2_fes=None):
+    """D: RT0 → P0(L2), (Du)|_K = (Σ outward-signed face dofs)/|K| — exact
+    since div u is constant per element for RT0 (DiscreteLinearOperator
+    divergence, ex24 analog; completes the de Rham chain with
+    discrete_gradient/discrete_curl: D∘C = 0 identically)."""
+    import jax.numpy as jnp
+
+    from ..fem.basis import make_dof_to_quad
+    from ..fem.fespace import element_node_coords
+    from ..fem.geom_factors import compute_geometric_factors
+
+    mesh = rt_space.mesh
+    d2q = make_dof_to_quad(mesh.geom, 1, 2)
+    X = element_node_coords(mesh, 1)
+    gf = compute_geometric_factors(X, d2q)
+    vol = jnp.sum(gf.wdet, axis=1)                  # (ne,)
+    gm = jnp.asarray(rt_space.gather_map, index_t())
+    sg = jnp.asarray(rt_space.signs)
+
+    def D(u):
+        flux = jnp.sum(u[gm] * sg, axis=1)          # ∫_K div u
+        return flux / vol                            # constant P0 value
+
+    return D
 
 
 def _vertex_dof_map(h1_fes) -> np.ndarray:

@@ -114,3 +114,50 @@ def test_nd_maxwell_solve_tet():
                  max_iter=3000)
     assert bool(info.converged)
     assert np.isfinite(np.asarray(u)).all()
+
+
+def test_de_rham_complex_tet():
+    """Full de Rham chain on tets: curl(grad)=0, div(curl)=0, and the
+    divergence of an RT0 interpolant of a linear field is exact."""
+    from cardiac_ablation_ecm2_tpu.ops.vecfe import (
+        discrete_curl,
+        discrete_divergence,
+    )
+
+    mesh = tet_mesh()
+    h1 = FESpace(mesh, 1)
+    nd = NDSpace(mesh)
+    rt = RTSpace(mesh)
+    G = discrete_gradient(h1, nd)
+    C = discrete_curl(nd, rt)
+    D = discrete_divergence(rt)
+
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal(h1.ndof))
+    assert float(jnp.abs(C(G(u))).max()) < 1e-12          # curl grad = 0
+    E = jnp.asarray(rng.standard_normal(nd.ndof))
+    assert float(jnp.abs(D(C(E))).max()) < 1e-10          # div curl = 0
+
+
+def test_discrete_div_exact_linear_field():
+    """u = (x, 2y, 3z) has div = 6 exactly; interpolate into RT0 via face
+    fluxes and check D u = 6 on every element."""
+    from cardiac_ablation_ecm2_tpu.mesh.mesh import unique_faces
+    from cardiac_ablation_ecm2_tpu.ops.vecfe import discrete_divergence
+
+    mesh = tet_mesh()
+    rt = RTSpace(mesh)
+    # face dof = flux of u through the face along its canonical normal:
+    # for affine faces with linear u, exact by one-point centroid quadrature
+    # only for constant u; use exact integration for linear u: flux =
+    # area * u(centroid) . n  (midpoint rule is exact for linear integrands)
+    faces, _ = unique_faces(mesh)
+    V = mesh.vertices
+    tri = V[faces]                                   # (nf, 3, 3) sorted tri
+    cent = tri.mean(axis=1)
+    n_vec = 0.5 * np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    u_c = np.stack([cent[:, 0], 2 * cent[:, 1], 3 * cent[:, 2]], axis=1)
+    dofs = jnp.asarray(np.einsum("fd,fd->f", u_c, n_vec))
+    D = discrete_divergence(rt)
+    div = np.asarray(D(dofs))
+    assert np.allclose(div, 6.0, atol=1e-9), (div.min(), div.max())
