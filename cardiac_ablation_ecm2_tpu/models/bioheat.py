@@ -146,6 +146,12 @@ class BioheatOperator:
             ess = np.zeros(0, dtype=np.int32)
         self.ess = jnp.asarray(ess, dtype=index_t())
         self.has_ess = len(ess) > 0
+        # constrained-dof MASK: XLA scatters (.at[ess].set) cost ~2 applies
+        # each on TPU (measured 4.7 ms vs 2.6 ms apply at 912k dofs); the
+        # elementwise mask multiply is ~free and used in every hot path
+        mask = np.ones(fes.ndof, dtype=np.float64)
+        mask[np.asarray(ess)] = 0.0
+        self.ess_mask = jnp.asarray(mask, real_t(self.dtype))
 
         # diagonals
         restr, db = self.restr, self.db
@@ -198,21 +204,22 @@ class BioheatOperator:
 
     def _zero_ess(self, v):
         if self.has_ess:
-            return v.at[self.ess].set(0.0)
+            return v * self.ess_mask
         return v
 
     # -- TimeDependentOperator protocol -------------------------------
     def mult(self, t, T):
         rhs = self._zero_ess(self.residual(T))
+        mask = self.ess_mask
 
         def Mc(v):
-            z = self._zero_ess(v)
-            y = self._zero_ess(self._Mrc_apply(z))
-            return y + (v - z)   # identity on the constrained subspace
+            z = v * mask
+            # identity on the constrained subspace keeps the operator SPD
+            return self._Mrc_apply(z) * mask + (v - z)
 
         diag = self.Mrc_diag
         if self.has_ess:
-            diag = diag.at[self.ess].set(1.0)
+            diag = diag * mask + (1.0 - mask)
         inv = 1.0 / diag
         x, _ = cg(Mc, rhs, M=lambda r: inv * r, rel_tol=self.rel_tol,
                   max_iter=self.max_iter)
@@ -221,17 +228,17 @@ class BioheatOperator:
     def implicit_solve(self, gamma, t, T):
         """(M_ρc + γ A) k = b − A T, with k = 0 on essential dofs."""
         rhs = self._zero_ess(self.residual(T))
+        mask = self.ess_mask
 
         def lhs(v):
-            z = self._zero_ess(v)
+            z = v * mask
             y = self._Mrc_apply(z) + gamma * self._A_apply(z)
-            y = self._zero_ess(y)
             # identity on the constrained subspace keeps the operator SPD
-            return y + (v - z)
+            return y * mask + (v - z)
 
         diag = self.Mrc_diag + gamma * self.A_diag
         if self.has_ess:
-            diag = diag.at[self.ess].set(1.0)
+            diag = diag * mask + (1.0 - mask)
         inv = 1.0 / diag
         k, _ = cg(lhs, rhs, M=lambda r: inv * r, rel_tol=self.rel_tol,
                   max_iter=self.max_iter)

@@ -159,6 +159,9 @@ def setup(
         )
         qmrc, qmw, qk, bc, dgs = qmrc[0], qmw[0], qk[0], bc[0], dgs[0]
         ess = essl[lax.axis_index(pops.AXIS)]
+        # one scatter per step builds the mask; the CG loop then uses
+        # elementwise multiplies (XLA scatters cost ~2 applies each)
+        emask = jnp.ones(nloc + 1, T.dtype).at[ess].set(0.0)
         dM, dA = dgs[0], dgs[1]
         pdot = pops.make_pdot(w_dof)
 
@@ -174,18 +177,18 @@ def setup(
             return pops.halo_sum(z, sdi, perms, nloc)
 
         def zero_ess(v):
-            return v.at[ess].set(0.0)
+            return v * emask
 
         def implicit_solve(gamma, Tval):
             rhs = zero_ess(bc - Aop(Tval))
 
             def lhs(v):
-                z = zero_ess(v)
-                y = zero_ess(Mrc(z) + gamma * Aop(z))
+                z = v * emask
+                y = (Mrc(z) + gamma * Aop(z)) * emask
                 return y + (v - z)
 
-            dg = dM + gamma * dA
-            dg = dg.at[ess].set(1.0).at[nloc].set(1.0)
+            dg = (dM + gamma * dA) * emask + (1.0 - emask)
+            dg = dg.at[nloc].set(1.0)
             dg = jnp.where(dg == 0.0, 1.0, dg)
             if precond == "chebyshev":
                 from ..linalg.smoothers import chebyshev

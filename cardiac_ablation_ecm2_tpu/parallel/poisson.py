@@ -129,18 +129,18 @@ def setup(
         X, g, pm, sg = X[0], g[0], pm[0], sg[0]
         sd, w_el, w_dof = sd[0], w_el[0], w_dof[0]
         ess = essl[lax.axis_index(pops.AXIS)]
+        emask = jnp.ones(nloc + 1, rt).at[ess].set(0.0)
 
         gf = compute_geometric_factors(X, d2q, dtype)
         kq = None if kappa is None else kappa(gf.x).astype(rt)
         qd = diffusion_mod.setup(gf, kq) * w_el[:, None, None, None]
 
         def A(v):
-            z = pops.zero_at(v, ess)
+            z = v * emask
             e = z[g]
             y = pops.local_scatter(diffusion_mod.apply(db, qd, e), pm, sg, nloc)
             y = pops.halo_sum(y, sd, perms, nloc)
-            y = pops.zero_at(y, ess)
-            return y + (v - z)
+            return y * emask + (v - z)
 
         # RHS (f, v) with halo assembly; essential rows zero (u_bc = 0)
         fq = jnp.ones_like(gf.det) if rhs is None else rhs(gf.x).astype(rt)
@@ -153,7 +153,8 @@ def setup(
         d_e = diffusion_mod.diagonal(db, qd)
         dg = pops.local_scatter(d_e, pm, sg, nloc)
         dg = pops.halo_sum(dg, sd, perms, nloc)
-        dg = dg.at[ess].set(1.0).at[nloc].set(1.0)
+        dg = dg * emask + (1.0 - emask)
+        dg = dg.at[nloc].set(1.0)
         # unused padded dof slots (devices with fewer dofs than nloc) have a
         # zero diagonal — guard against 0/0 NaNs in the Jacobi apply
         dg = jnp.where(dg == 0.0, 1.0, dg)

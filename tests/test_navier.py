@@ -1,0 +1,67 @@
+"""Navier-Stokes split-step solver (miniapps/fluids/navier analog):
+Kovasznay-flow validation — the canonical NavierSolver test case."""
+
+import numpy as np
+import pytest
+
+from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_2d
+from cardiac_ablation_ecm2_tpu.mesh.mesh import Mesh
+from cardiac_ablation_ecm2_tpu.models.navier import NavierSolver
+
+RE = 40.0
+LAM = RE / 2 - np.sqrt(RE * RE / 4 + 4 * np.pi ** 2)
+
+
+def kovasznay_u(x):
+    x = np.asarray(x)
+    ex = np.exp(LAM * x[..., 0])
+    return np.stack(
+        [1 - ex * np.cos(2 * np.pi * x[..., 1]),
+         LAM / (2 * np.pi) * ex * np.sin(2 * np.pi * x[..., 1])], axis=-1)
+
+
+def kov_mesh(nx=6, ny=5):
+    m0 = make_cartesian_2d(nx, ny)
+    V = m0.vertices.copy()
+    V[:, 0] = -0.5 + 2.5 * V[:, 0]
+    V[:, 1] = -0.5 + 2.0 * V[:, 1]
+    return Mesh(geom=m0.geom, vertices=V, elements=m0.elements,
+                attributes=m0.attributes, boundary=m0.boundary,
+                bdr_attributes=m0.bdr_attributes)
+
+
+def test_kovasznay_steady_state_preserved():
+    """Starting FROM the interpolated exact solution, 30 BDF2/EXT2 steps
+    must stay at the interpolation-error level — any sign/term error in the
+    convection, pressure, or projection sub-steps would drift or blow up."""
+    ns = NavierSolver(mesh=kov_mesh(), order=4, kin_vis=1.0 / RE,
+                      vel_bc=kovasznay_u, rel_tol=1e-10)
+    u, p = ns.initial_state(kovasznay_u)
+    err0 = ns.velocity_error(u, kovasznay_u)
+    u, p = ns.run(dt=2e-3, nsteps=30, u0=kovasznay_u)
+    err = ns.velocity_error(u, kovasznay_u)
+    assert err < 2.0 * err0 + 1e-6, (err, err0)
+    assert ns.div_norm(u) < 0.1
+
+
+def test_kovasznay_approach_from_perturbed():
+    """A perturbed start must decay back toward the steady solution (the
+    mesh must resolve Kovasznay well so the steady discretization error is
+    below the perturbation: order 4 on 6x5)."""
+    ns = NavierSolver(mesh=kov_mesh(6, 5), order=4, kin_vis=1.0 / RE,
+                      vel_bc=kovasznay_u, rel_tol=1e-9)
+
+    def u_pert(x):
+        u = kovasznay_u(x)
+        x = np.asarray(x)
+        bump = 0.2 * np.exp(-40 * ((x[..., 0] - 0.7) ** 2
+                                   + (x[..., 1] - 0.5) ** 2))
+        u = u + np.stack([bump, -bump], axis=-1)
+        return u
+
+    u0, _ = ns.initial_state(u_pert)
+    err_start = ns.velocity_error(u0, kovasznay_u)
+    u, p = ns.run(dt=5e-3, nsteps=100, u0=u_pert)
+    err_end = ns.velocity_error(u, kovasznay_u)
+    assert err_end < 0.5 * err_start, (err_start, err_end)
+    assert err_end < 0.03
