@@ -48,12 +48,15 @@ class ConductionOperator:
         self.mass_diag = self.restr.mult_transpose(self.mass_diag_e)
         ess = fes.essential_dofs(self.ess_bdr) if self.ess_bdr else \
             np.zeros(0, dtype=np.int32)
-        from ..utils.config import index_t
+        from ..utils.config import index_t, real_t
         self.ess = jnp.asarray(ess, dtype=index_t())
         self.has_ess = len(ess) > 0
+        m = np.ones(fes.ndof, dtype=np.float64)
+        m[np.asarray(ess)] = 0.0
+        self.ess_mask = jnp.asarray(m, real_t(self.dtype))
 
     def _zero_ess(self, v):
-        return v.at[self.ess].set(0.0) if self.has_ess else v
+        return v * self.ess_mask if self.has_ess else v
 
     # -- internals -----------------------------------------------------
     def _kappa_q(self, u):
@@ -81,7 +84,7 @@ class ConductionOperator:
 
         diag = self.mass_diag
         if self.has_ess:
-            diag = diag.at[self.ess].set(1.0)
+            diag = diag * self.ess_mask + (1.0 - self.ess_mask)
         inv = 1.0 / diag
         x, _ = cg(Mc, rhs, M=lambda r: inv * r,
                   rel_tol=self.rel_tol, max_iter=self.max_iter)
@@ -100,7 +103,7 @@ class ConductionOperator:
         kdiag = diffusion.diagonal(self.db, qd)
         diag = self.mass_diag + gamma * self.restr.mult_transpose(kdiag)
         if self.has_ess:
-            diag = diag.at[self.ess].set(1.0)
+            diag = diag * self.ess_mask + (1.0 - self.ess_mask)
         inv = 1.0 / diag
         k, _ = cg(
             T_apply, rhs, M=lambda r: inv * r,

@@ -81,6 +81,9 @@ class NavierSolver:
         ess_s = fes.essential_dofs(self.vel_bdr)
         self.ess_s = jnp.asarray(ess_s, index_t())
         self.has_ess = len(ess_s) > 0
+        m = np.ones(ns, dtype=np.float64)
+        m[np.asarray(ess_s)] = 0.0
+        self.ess_mask = jnp.asarray(m, rt)[None, :]       # (1, ns)
         if self.vel_bc is not None:
             gvals = np.asarray(self.vel_bc(fes.dof_coords), dtype=float)
             self.u_bc = jnp.asarray(gvals.T.copy(), rt)   # (d, ns)
@@ -143,7 +146,7 @@ class NavierSolver:
 
     def _zero_ess(self, u_dn):
         if self.has_ess:
-            return u_dn.at[:, self.ess_s].set(0.0)
+            return u_dn * self.ess_mask
         return u_dn
 
     # -- one time step ---------------------------------------------------
@@ -186,10 +189,9 @@ class NavierSolver:
             dg = bd0dt * self.dM + self.dK
             dgv = jnp.tile(dg[None], (self.dim, 1))
             if self.has_ess:
-                dgv = dgv.at[:, self.ess_s].set(1.0)
+                dgv = dgv * self.ess_mask + (1.0 - self.ess_mask)
             B = self._zero_ess(rhs - (bd0dt * self._mass_apply(self.u_bc)
                                       + self._stiff_apply(self.u_bc)))
-            B = B.at[:, self.ess_s].set(0.0) if self.has_ess else B
             x0 = jnp.zeros_like(B)
             inv = 1.0 / dgv.reshape(-1)
             ustar_h, _ = cg(H, B.reshape(-1), x0=x0.reshape(-1),
@@ -241,8 +243,8 @@ class NavierSolver:
                           rel_tol=self.rel_tol, max_iter=self.max_iter)
             u_new = u_new.reshape(self.dim, self.ns)
             if self.has_ess:
-                u_new = u_new.at[:, self.ess_s].set(
-                    self.u_bc[:, self.ess_s])
+                u_new = (u_new * self.ess_mask
+                         + self.u_bc * (1.0 - self.ess_mask))
             return u_new, p_new
 
         return jax.jit(step)

@@ -115,6 +115,9 @@ class RFOperator:
         )
         x_bc = jnp.zeros(fes.ndof, dtype=real_t(self.dtype))
         x_bc = x_bc.at[jnp.asarray(ess_e)].set(self.voltage)
+        m = np.ones(fes.ndof, dtype=np.float64)
+        m[np.asarray(np.unique(np.concatenate([ess_e, ess_g])))] = 0.0
+        emask = jnp.asarray(m, real_t(self.dtype))
         rel_tol, max_iter = self.rel_tol, self.max_iter
 
         def resolve(sigma_q, phi0):
@@ -127,16 +130,15 @@ class RFOperator:
                 )
 
             def lhs(v):
-                z = v.at[ess].set(0.0)
-                y = raw(z).at[ess].set(v[ess])
-                return y
+                z = v * emask
+                return raw(z) * emask + (v - z)
 
             # eliminate BC values into the RHS (FormLinearSystem analog)
-            b = (-raw(x_bc)).at[ess].set(x_bc[ess])
+            b = (-raw(x_bc)) * emask + x_bc * (1.0 - emask)
             diag = restr.mult_transpose(diffusion.diagonal(db, qd))
-            diag = diag.at[ess].set(1.0)
+            diag = diag * emask + (1.0 - emask)
             inv = 1.0 / diag
-            phi0 = phi0.at[ess].set(x_bc[ess])
+            phi0 = phi0 * emask + x_bc * (1.0 - emask)
             phi, info = cg(lhs, b, x0=phi0, M=lambda r: inv * r,
                            rel_tol=rel_tol, max_iter=max_iter)
             # SAR = σ|∇Φ|² at quadrature points
