@@ -26,18 +26,26 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..utils.config import config
+from . import accum
 
 
 def default_dot(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Inner product, accumulated in f64 when configured and available."""
+    """Inner product, accumulated in f64 when configured and available.
+
+    On platforms without native f64 (TPU), the f64 accumulation runs as a
+    lane-parallel compensated f32 sum (``linalg/accum.py``) instead of the
+    ~14x-slower emulated-f64 stream; accuracy ~1e-10 relative.
+    """
     if (
         config.f64_reductions
         and jax.config.jax_enable_x64
         and x.dtype != jnp.float64
     ):
-        return jnp.vdot(x.astype(jnp.float64), y.astype(jnp.float64)).astype(
-            x.dtype
-        )
+        if accum.native_f64():
+            return jnp.vdot(
+                x.astype(jnp.float64), y.astype(jnp.float64)
+            ).astype(x.dtype)
+        return accum.compensated_dot(x, y).astype(x.dtype)
     return jnp.vdot(x, y)
 
 

@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..linalg import accum
+
 AXIS = "d"
 
 
@@ -50,8 +52,15 @@ def make_pdot(weight, axis_name: str = AXIS, f64: bool = True):
     def pdot(a, b):
         x = a * weight * b
         if f64 and jax.config.jax_enable_x64 and x.dtype != jnp.float64:
-            x = x.astype(jnp.float64)
-        s = lax.psum(jnp.sum(x), axis_name)
+            if accum.native_f64():
+                s = jnp.sum(x.astype(jnp.float64))
+            else:
+                # TPU: emulated f64 over the local stream is ~14x slower
+                # than f32; compensated f32 sum + one f64 scalar psum.
+                s = accum.compensated_sum(x)
+        else:
+            s = jnp.sum(x)
+        s = lax.psum(s, axis_name)
         return s.astype(a.dtype)
 
     return pdot
