@@ -67,9 +67,10 @@ def setup(
     max_iter: int = 500,
     dtype=None,
     devices=None,
-    precond: str = "jacobi",      # "jacobi" | "chebyshev"
+    precond: str = "jacobi",      # "jacobi" | "chebyshev" | "pmg"
     cheb_order: int = 4,
     cheb_power_iters: int = 12,
+    pmg_orders: Optional[Sequence[int]] = None,
 ) -> ParBioheat:
     fes = FESpace(mesh, order)
     if devices is None:
@@ -97,6 +98,7 @@ def setup(
     sg = jnp.asarray(pf.scat_seg)
     sd = jnp.asarray(pf.send_idx)
     ew = jnp.asarray(pf.elem_weight, dtype=rt)
+    ews = ew                       # closure copy indexed inside the step
     dw = jnp.asarray(pf.dof_weight, dtype=rt)
 
     spec = P(pops.AXIS)
@@ -145,6 +147,21 @@ def setup(
     )
     l2gj = jnp.asarray(l2g)
 
+    pmg_ctx = None
+    if precond == "pmg":
+        from . import pmg as pmg_mod
+
+        if pmg_orders is None:
+            pmg_orders = []
+            p = order // 2
+            while p >= 1:
+                pmg_orders.insert(0, p)
+                p //= 2
+            pmg_orders = pmg_orders or [1]
+        pmg_ctx = pmg_mod.build_coarse_levels(
+            fes, pf, pmg_orders, list(ess_bdr) if ess_bdr else [], dtype
+        )
+
     # ---------------- sharded SDIRK step ------------------------------
     @fpartial(
         shard_map, mesh=dmesh,
@@ -190,7 +207,29 @@ def setup(
             dg = (dM + gamma * dA) * emask + (1.0 - emask)
             dg = dg.at[nloc].set(1.0)
             dg = jnp.where(dg == 0.0, 1.0, dg)
-            if precond == "chebyshev":
+            if precond == "pmg":
+                from . import pmg as pmg_mod
+
+                w_el_loc = ews[lax.axis_index(pops.AXIS)]
+
+                def qd_fn(gf_l, li, db_l):
+                    wm = w_el_loc[:, None]
+                    qm = mmod.setup(gf_l) * (rho_c + gamma * w_cb) * wm
+                    qdf = dmod.setup(gf_l) * (gamma * k) * wm[..., None, None]
+                    return qm, qdf
+
+                fine_level = dict(
+                    A=lhs, diag=dg, gather=g, scat_perm=pmi, scat_seg=sgi,
+                    send_idx=sdi, perms=perms, nloc=nloc, emask=emask,
+                    pdot=pdot, loc2glob=g2l, dof_weight=w_dof,
+                    elem_weight=w_el_loc,
+                )
+                M = pmg_mod.inshard_vcycle(
+                    pmg_ctx, axis_name=pops.AXIS, fine=fine_level,
+                    qdata_fn=qd_fn, smoother_order=cheb_order - 1,
+                    power_iters=cheb_power_iters,
+                )
+            elif precond == "chebyshev":
                 from ..linalg.smoothers import chebyshev
 
                 # halo-consistent deterministic start for the sharded

@@ -78,9 +78,10 @@ def setup(
     max_iter: int = 2000,
     dtype=None,
     devices=None,
-    precond: str = "jacobi",      # "jacobi" | "chebyshev"
+    precond: str = "jacobi",      # "jacobi" | "chebyshev" | "pmg"
     cheb_order: int = 4,
     cheb_power_iters: int = 12,
+    pmg_orders: Optional[Sequence[int]] = None,   # coarse orders, coarsest 1st
 ) -> ParPoisson:
     """Build the sharded solver.  ``rhs``/``kappa`` must be jax-traceable
     callables of physical coordinates (or None)."""
@@ -115,6 +116,21 @@ def setup(
     l2gj = jnp.asarray(np.concatenate(
         [pf.loc2glob, np.full((pf.ndev, 1), -1, pf.loc2glob.dtype)], axis=1
     ))
+
+    pmg_ctx = None
+    if precond == "pmg":
+        from . import pmg as pmg_mod
+
+        if pmg_orders is None:
+            pmg_orders = []
+            p = order // 2
+            while p >= 1:
+                pmg_orders.insert(0, p)
+                p //= 2
+            pmg_orders = pmg_orders or [1]
+        pmg_ctx = pmg_mod.build_coarse_levels(
+            fes, pf, pmg_orders, ess_bdr, dtype
+        )
 
     spec = P(pops.AXIS)
 
@@ -160,7 +176,28 @@ def setup(
         dg = jnp.where(dg == 0.0, 1.0, dg)
 
         pdot = pops.make_pdot(w_dof)
-        if precond == "chebyshev":
+        if precond == "pmg":
+            from . import pmg as pmg_mod
+
+            def qd_fn(gf_l, li, db_l):
+                kq_l = None if kappa is None else kappa(gf_l.x).astype(rt)
+                return None, (
+                    diffusion_mod.setup(gf_l, kq_l)
+                    * w_el[:, None, None, None]
+                )
+
+            fine_level = dict(
+                A=A, diag=dg, gather=g, scat_perm=pm, scat_seg=sg,
+                send_idx=sd, perms=perms, nloc=nloc, emask=emask,
+                pdot=pdot, loc2glob=l2gj[lax.axis_index(pops.AXIS)],
+                dof_weight=w_dof, elem_weight=w_el,
+            )
+            M = pmg_mod.inshard_vcycle(
+                pmg_ctx, axis_name=pops.AXIS, fine=fine_level,
+                qdata_fn=qd_fn, smoother_order=cheb_order - 1,
+                power_iters=cheb_power_iters,
+            )
+        elif precond == "chebyshev":
             from ..linalg.smoothers import chebyshev
 
             g2l = l2gj[lax.axis_index(pops.AXIS)]
