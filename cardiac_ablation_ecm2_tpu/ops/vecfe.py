@@ -30,17 +30,30 @@ from ..utils.config import index_t, real_t
 
 @dataclasses.dataclass(eq=False)
 class VecFEOperator:
-    """Matrix-free Σ terms of mass/curlcurl (ND) or mass/divdiv (RT)."""
+    """Matrix-free Σ terms of mass/curlcurl (ND) or mass/divdiv (RT).
 
-    space: object                 # NDSpace or RTSpace
+    Orientation handling: either a per-dof ``signs`` multiply (tensor
+    elements, lowest-order simplices) or the true DofTransformation pair
+    ``tf``/``tft`` (canonical → reference-coefficient block matmuls,
+    fem/doftrans.hpp:141) from a ``VectorSimplexSpace``."""
+
+    space: object                 # NDSpace / RTSpace / VectorSimplexSpace
     gather: jnp.ndarray           # (ne, ndl)
-    signs: jnp.ndarray           # (ne, ndl)
+    signs: jnp.ndarray            # (ne, ndl)
     terms: tuple                  # of (name, qdata, Bq) — see below
     ndof: int
     gf: object = None             # GeometricFactors (for linear forms)
+    tf: object = None             # canonical values → reference coeffs
+    tft: object = None            # adjoint
+
+    def _pre(self, e):
+        return self.tf(e) if self.tf is not None else e * self.signs
+
+    def _post(self, y):
+        return self.tft(y) if self.tft is not None else y * self.signs
 
     def mult(self, x: jnp.ndarray) -> jnp.ndarray:
-        e = x[self.gather] * self.signs
+        e = self._pre(x[self.gather])
         y = None
         for name, qd, Bq in self.terms:
             # Bq: (ne, nq, ndl, c); qd: (ne, nq[, c, c'])
@@ -51,18 +64,40 @@ class VecFEOperator:
                 v = v * qd[..., None]
             t = jnp.einsum("eqnc,eqc->en", Bq, v)
             y = t if y is None else y + t
-        y = y * self.signs
+        y = self._post(y)
         out = jnp.zeros(self.ndof, dtype=x.dtype)
         return out.at[self.gather.reshape(-1)].add(y.reshape(-1))
 
-    def diagonal(self) -> jnp.ndarray:
-        d = None
+    def _elem_mats(self, xp=jnp):
+        A_e = None
         for name, qd, Bq in self.terms:
+            if xp is np:
+                qd, Bq = np.asarray(qd), np.asarray(Bq)
             if qd.ndim == 4:
-                t = jnp.einsum("eqnc,eqcd,eqnd->en", Bq, qd, Bq)
+                t = xp.einsum("eqmc,eqcd,eqnd->emn", Bq, qd, Bq)
             else:
-                t = jnp.einsum("eqnc,eq,eqnc->en", Bq, qd, Bq)
-            d = t if d is None else d + t
+                t = xp.einsum("eqmc,eq,eqnc->emn", Bq, qd, Bq)
+            A_e = t if A_e is None else A_e + t
+        return A_e
+
+    def diagonal(self) -> jnp.ndarray:
+        if self.tf is None:
+            d = None
+            for name, qd, Bq in self.terms:
+                if qd.ndim == 4:
+                    t = jnp.einsum("eqnc,eqcd,eqnd->en", Bq, qd, Bq)
+                else:
+                    t = jnp.einsum("eqnc,eq,eqnc->en", Bq, qd, Bq)
+                d = t if d is None else d + t
+        else:
+            import jax
+
+            A_e = self._elem_mats()
+            A_e = jax.vmap(self.tft, in_axes=1, out_axes=1)(A_e)
+            A_e = jax.vmap(self.tft, in_axes=2, out_axes=2)(A_e)
+            d = jnp.einsum("enn->en", A_e)
+        if self.tf is None:
+            d = d * self.signs * self.signs
         out = jnp.zeros(self.ndof, dtype=d.dtype)
         return out.at[self.gather.reshape(-1)].add(d.reshape(-1))
 
@@ -71,18 +106,14 @@ class VecFEOperator:
         import scipy.sparse as sp
 
         gm = np.asarray(self.gather, dtype=np.int64)
-        sg = np.asarray(self.signs)
         ne, ndl = gm.shape
-        A_e = None
-        for name, qd, Bq in self.terms:
-            qd = np.asarray(qd)
-            Bq = np.asarray(Bq)
-            if qd.ndim == 4:
-                t = np.einsum("eqmc,eqcd,eqnd->emn", Bq, qd, Bq)
-            else:
-                t = np.einsum("eqmc,eq,eqnc->emn", Bq, qd, Bq)
-            A_e = t if A_e is None else A_e + t
-        A_e = A_e * sg[:, :, None] * sg[:, None, :]
+        A_e = self._elem_mats(xp=np)
+        if self.tf is not None:
+            T = self.space.dense_transform()           # (ne, ndl, ndl)
+            A_e = np.einsum("eml,emn,ens->els", T, A_e, T)   # Tᵀ A T
+        else:
+            sg = np.asarray(self.signs)
+            A_e = A_e * sg[:, :, None] * sg[:, None, :]
         rows = np.repeat(gm, ndl, axis=1).reshape(-1)
         cols = np.tile(gm, (1, ndl)).reshape(-1)
         return sp.coo_matrix(
@@ -107,7 +138,12 @@ def build_nd_operator(
     mesh = space.mesh
     rt = real_t(dtype)
     gf = _geom(mesh, nq1d, dtype)
-    if getattr(space, "kind", None) == "nd" and space.order >= 1:
+    from ..fem.fe_vector_simplex import VectorSimplexSpace, simplex_vec_element
+
+    if isinstance(space, VectorSimplexSpace):
+        el = simplex_vec_element(mesh.geom, "nd", space.order, 2 * nq1d - 1)
+        pts, Bref, Cref = el["pts"], el["B"], el["D"]
+    elif getattr(space, "kind", None) == "nd" and space.order >= 1:
         pts, Bref, Cref = nd_basis_ho(mesh.geom, space.order, nq1d)
     else:
         pts, Bref, Cref = nd0_basis(mesh.geom, nq1d)
@@ -134,6 +170,23 @@ def build_nd_operator(
             )
         qd = curlcurl_coeff * gf.wdet
         terms.append(("curlcurl", qd, Cphys))
+    return _make_op(space, terms, gf, rt)
+
+
+def _make_op(space, terms, gf, rt):
+    from ..fem.fe_vector_simplex import VectorSimplexSpace
+
+    if isinstance(space, VectorSimplexSpace):
+        return VecFEOperator(
+            space=space,
+            gather=jnp.asarray(space.gather_map, index_t()),
+            signs=jnp.ones(space.gather_map.shape, rt),
+            terms=tuple(terms),
+            ndof=space.ndof,
+            gf=gf,
+            tf=space.transform,
+            tft=space.transform_t,
+        )
     return VecFEOperator(
         space=space,
         gather=jnp.asarray(space.gather_map, index_t()),
@@ -155,7 +208,12 @@ def build_rt_operator(
     mesh = space.mesh
     rt = real_t(dtype)
     gf = _geom(mesh, nq1d, dtype)
-    if getattr(space, "kind", None) == "rt":
+    from ..fem.fe_vector_simplex import VectorSimplexSpace, simplex_vec_element
+
+    if isinstance(space, VectorSimplexSpace):
+        el = simplex_vec_element(mesh.geom, "rt", space.order, 2 * nq1d - 1)
+        pts, Bref, Dref = el["pts"], el["B"], el["D"][..., 0]
+    elif getattr(space, "kind", None) == "rt":
         pts, Bref, Dref = rt_basis_ho(mesh.geom, space.order - 1, nq1d)
     else:
         pts, Bref, Dref = rt0_basis(mesh.geom, nq1d)
@@ -172,14 +230,7 @@ def build_rt_operator(
         Dphys = jnp.broadcast_to(Dphys, (mesh.ne,) + Dref.shape + (1,))
         qd = divdiv_coeff * gf.wdet
         terms.append(("divdiv", qd, Dphys))
-    return VecFEOperator(
-        space=space,
-        gather=jnp.asarray(space.gather_map, index_t()),
-        signs=jnp.asarray(space.signs, rt),
-        terms=tuple(terms),
-        ndof=space.ndof,
-        gf=gf,
-    )
+    return _make_op(space, terms, gf, rt)
 
 
 def vecfe_linear_form(op: VecFEOperator, vec_fn: Callable) -> jnp.ndarray:
@@ -188,7 +239,7 @@ def vecfe_linear_form(op: VecFEOperator, vec_fn: Callable) -> jnp.ndarray:
     name, qd_mass, Bq = next(t for t in op.terms if t[0] == "mass")
     c = jnp.asarray(vec_fn(np.asarray(op.gf.x)), Bq.dtype)   # (ne, nq, dim)
     v = jnp.einsum("eqnc,eqc->en", Bq, op.gf.wdet[..., None] * c)
-    v = v * op.signs
+    v = op._post(v)
     out = jnp.zeros(op.ndof, dtype=Bq.dtype)
     return out.at[op.gather.reshape(-1)].add(v.reshape(-1))
 
