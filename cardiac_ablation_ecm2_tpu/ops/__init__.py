@@ -9,3 +9,4 @@ from . import convection, diffusion, elasticity, linearform, mass
 from . import block, dg_advection, vecfe
 from . import hyperbolic
 from . import dg_diffusion
+from . import hybridization
