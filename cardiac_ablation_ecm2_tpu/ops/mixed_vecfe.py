@@ -1,0 +1,271 @@
+"""Mixed-pairing bilinear integrators across H1 / ND / RT / L2 spaces.
+
+Reference analog: the mixed H1–ND–RT integrator family of
+``fem/bilininteg.hpp:784-2121`` — ``MixedScalarMassIntegrator``,
+``MixedVectorGradientIntegrator`` (:1787), ``MixedVectorCurlIntegrator``
+(:1862), ``MixedScalarCurlIntegrator``, ``VectorFEDivergenceIntegrator``
+(:2121), ``MixedVectorWeakDivergenceIntegrator`` (:1830),
+``VectorFEMassIntegrator`` with distinct trial/test spaces — as used by
+ex24 and the joule miniapp's coupled EM formulations.
+
+TPU-native design: one generic rectangular PA operator.  Every pairing is
+
+    y = Rₛᵀ Bₛᵀ  diag(qd)  Bₜ Rₜ x
+
+with Bₜ/Bₛ per-space *physical* basis tables (Piola/covariant pullbacks
+already applied, shared quadrature rule) and one batched einsum chain —
+no per-pairing kernels.  Orientation handling (±1 signs or true
+DofTransformations) rides the same pre/post closures as the square
+``VecFEOperator``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.fe_vector import NDSpace, RTSpace
+from ..utils.config import index_t, real_t
+
+
+def _kind(space) -> str:
+    k = getattr(space, "kind", None)
+    if k is not None:
+        return k
+    if isinstance(space, NDSpace):
+        return "nd"
+    if isinstance(space, RTSpace):
+        return "rt"
+    raise TypeError(f"not a vector FE space: {space!r}")
+
+
+def _wrap(space, rt):
+    """(gather, pre, post, ndof) for any supported space."""
+    if hasattr(space, "transform"):                       # VectorSimplexSpace
+        return (jnp.asarray(space.gather_map, index_t()),
+                space.transform, space.transform_t, space.ndof)
+    if hasattr(space, "signs"):                           # NDSpace/RTSpace/HO
+        sg = jnp.asarray(space.signs, rt)
+
+        def pre(e):
+            return e * sg
+
+        return (jnp.asarray(space.gather_map, index_t()),
+                pre, pre, space.ndof)
+    # scalar H1 / L2 space
+    gm = jnp.asarray(space.gather_map, index_t())
+
+    def ident(e):
+        return e
+
+    return gm, ident, ident, space.ndof_scalar
+
+
+def _vec_tables(space, nq1d, dtype):
+    """(gf, value_table, deriv_table) for an ND/RT space.
+
+    value: (ne, nq, ndl, dim) physical vector basis.  deriv: curl for ND
+    ((ne, nq, ndl, 3) in 3D, (ne, nq, ndl) scalar in 2D), div for RT
+    ((ne, nq, ndl)).  Reuses the audited square-operator table builders.
+    """
+    from .vecfe import build_nd_operator, build_rt_operator
+
+    if _kind(space) == "nd":
+        op = build_nd_operator(space, mass_coeff=1.0, curlcurl_coeff=1.0,
+                               nq1d=nq1d, dtype=dtype)
+        val = next(B for n, _, B in op.terms if n == "mass")
+        der = next(B for n, _, B in op.terms if n == "curlcurl")
+        if space.mesh.dim == 2:
+            der = der[..., 0] if der.ndim == 4 else der
+    else:
+        op = build_rt_operator(space, mass_coeff=1.0, divdiv_coeff=1.0,
+                               nq1d=nq1d, dtype=dtype)
+        val = next(B for n, _, B in op.terms if n == "mass")
+        der = next(B for n, _, B in op.terms if n == "divdiv")[..., 0]
+    return op.gf, val, der
+
+
+def _scalar_value(fes, nq1d, rt):
+    """Shared value table (nq, nd) for an H1/L2 space at the nq1d rule."""
+    return jnp.asarray(fes.dof_to_quad(nq1d).full_B(), rt)
+
+
+def _scalar_grad(fes, gf, nq1d, rt):
+    """Physical gradient table (ne, nq, nd, dim): J⁻ᵀ∇̂ = adjᵀ∇̂/det."""
+    from ..fem.geom_factors import adjugate
+
+    G = jnp.asarray(fes.dof_to_quad(nq1d).full_G(), rt)
+    A = adjugate(gf.jac)
+    return jnp.einsum("eqab,qna->eqnb", A / gf.det[..., None, None], G)
+
+
+@dataclasses.dataclass(eq=False)
+class MixedVecFEOperator:
+    """Rectangular PA operator  y = Rₛᵀ Bₛᵀ diag(qd) Bₜ Rₜ x."""
+
+    g_trial: jnp.ndarray
+    g_test: jnp.ndarray
+    pre_trial: Callable
+    post_trial: Callable
+    pre_test: Callable
+    post_test: Callable
+    Bt: jnp.ndarray               # (ne|1?, nq, n_trial[, c])
+    Bs: jnp.ndarray               # test table, same channel shape
+    qd: jnp.ndarray               # (ne, nq) weights (coeff · w · detJ ...)
+    ndof_trial: int
+    ndof_test: int
+
+    def _eval(self, B, e):
+        if B.ndim == 4:
+            return jnp.einsum("eqnc,en->eqc", B, e)
+        if B.ndim == 2:                                  # shared (nq, nd)
+            return jnp.einsum("qn,en->eq", B, e)[..., None]
+        if B.ndim == 3:                                  # (ne, nq, nd)
+            return jnp.einsum("eqn,en->eq", B, e)[..., None]
+        raise ValueError(B.shape)
+
+    def _evalT(self, B, q):
+        if B.ndim == 4:
+            return jnp.einsum("eqnc,eqc->en", B, q)
+        if B.ndim == 2:
+            return jnp.einsum("qn,eq->en", B, q[..., 0])
+        if B.ndim == 3:
+            return jnp.einsum("eqn,eq->en", B, q[..., 0])
+        raise ValueError(B.shape)
+
+    def mult(self, x: jnp.ndarray) -> jnp.ndarray:
+        e = self.pre_trial(x[self.g_trial])
+        q = self._eval(self.Bt, e) * self.qd[..., None]
+        y = self.post_test(self._evalT(self.Bs, q))
+        out = jnp.zeros(self.ndof_test, dtype=y.dtype)
+        return out.at[self.g_test.reshape(-1)].add(y.reshape(-1))
+
+    def mult_t(self, y: jnp.ndarray) -> jnp.ndarray:
+        e = self.pre_test(y[self.g_test])
+        q = self._eval(self.Bs, e) * self.qd[..., None]
+        x = self.post_trial(self._evalT(self.Bt, q))
+        out = jnp.zeros(self.ndof_trial, dtype=x.dtype)
+        return out.at[self.g_trial.reshape(-1)].add(x.reshape(-1))
+
+    def assemble_matrix(self):
+        """scipy CSR (ndof_test, ndof_trial) — tests / FULL fallback."""
+        import scipy.sparse as sp
+
+        ne = self.qd.shape[0]
+        nt = self.g_trial.shape[1]
+        ns = self.g_test.shape[1]
+        cols_e = np.zeros((ne, ns, nt))
+        eye = jnp.eye(nt, dtype=self.qd.dtype)
+        for j in range(nt):
+            e = self.pre_trial(jnp.broadcast_to(eye[j], (ne, nt)))
+            q = self._eval(self.Bt, e) * self.qd[..., None]
+            cols_e[:, :, j] = np.asarray(
+                self.post_test(self._evalT(self.Bs, q)))
+        rows = np.broadcast_to(
+            np.asarray(self.g_test)[:, :, None], cols_e.shape).reshape(-1)
+        cols = np.broadcast_to(
+            np.asarray(self.g_trial)[:, None, :], cols_e.shape).reshape(-1)
+        return sp.csr_matrix(
+            (cols_e.reshape(-1), (rows, cols)),
+            shape=(self.ndof_test, self.ndof_trial))
+
+
+def _make(trial, test, Bt, Bs, gf, coeff, rt):
+    gt, pre_t, post_t, nt = _wrap(trial, rt)
+    gs, pre_s, post_s, ns = _wrap(test, rt)
+    return MixedVecFEOperator(
+        g_trial=gt, g_test=gs,
+        pre_trial=pre_t, post_trial=post_t,
+        pre_test=pre_s, post_test=post_s,
+        Bt=Bt, Bs=Bs, qd=coeff * gf.wdet,
+        ndof_trial=nt, ndof_test=ns)
+
+
+def mixed_vector_gradient(h1_fes, nd_space, coeff=1.0, nq1d=3, dtype=None):
+    """(∇u, v): H1 trial → ND test (MixedVectorGradientIntegrator,
+    fem/bilininteg.hpp:1787)."""
+    rt = real_t(dtype)
+    gf, Bnd, _ = _vec_tables(nd_space, nq1d, dtype)
+    Gh1 = _scalar_grad(h1_fes, gf, nq1d, rt)
+    return _make(h1_fes, nd_space, Gh1, Bnd, gf, coeff, rt)
+
+
+def mixed_vector_weak_divergence(nd_space, h1_fes, coeff=1.0, nq1d=3,
+                                 dtype=None):
+    """−(u, ∇v): ND trial → H1 test (MixedVectorWeakDivergenceIntegrator,
+    fem/bilininteg.hpp:1830) — the negative transpose of
+    ``mixed_vector_gradient``."""
+    rt = real_t(dtype)
+    gf, Bnd, _ = _vec_tables(nd_space, nq1d, dtype)
+    Gh1 = _scalar_grad(h1_fes, gf, nq1d, rt)
+    return _make(nd_space, h1_fes, Bnd, Gh1, gf, -coeff, rt)
+
+
+def mixed_vector_mass(trial_space, test_space, coeff=1.0, nq1d=3,
+                      dtype=None):
+    """(u, v) with distinct trial/test vector spaces (ND×RT or RT×ND;
+    VectorFEMassIntegrator mixed form, fem/bilininteg.hpp:2704)."""
+    rt = real_t(dtype)
+    gf, Bt, _ = _vec_tables(trial_space, nq1d, dtype)
+    _, Bs, _ = _vec_tables(test_space, nq1d, dtype)
+    return _make(trial_space, test_space, Bt, Bs, gf, coeff, rt)
+
+
+def mixed_vector_curl(nd_space, rt_space, coeff=1.0, nq1d=3, dtype=None):
+    """(curl u, v): ND trial → RT test, 3D (MixedVectorCurlIntegrator,
+    fem/bilininteg.hpp:1862)."""
+    assert nd_space.mesh.dim == 3
+    rt = real_t(dtype)
+    gf, _, Cnd = _vec_tables(nd_space, nq1d, dtype)
+    _, Brt, _ = _vec_tables(rt_space, nq1d, dtype)
+    return _make(nd_space, rt_space, Cnd, Brt, gf, coeff, rt)
+
+
+def mixed_weak_curl(rt_space, nd_space, coeff=1.0, nq1d=3, dtype=None):
+    """(u, curl v): RT trial → ND test, 3D (MixedVectorWeakCurlIntegrator,
+    fem/bilininteg.hpp:1936) — the weak curl used by joule's WeakCurl."""
+    assert nd_space.mesh.dim == 3
+    rt = real_t(dtype)
+    gf, Brt, _ = _vec_tables(rt_space, nq1d, dtype)
+    _, _, Cnd = _vec_tables(nd_space, nq1d, dtype)
+    return _make(rt_space, nd_space, Brt, Cnd, gf, coeff, rt)
+
+
+def mixed_scalar_curl(nd_space, l2_fes, coeff=1.0, nq1d=3, dtype=None):
+    """(curl u, q): ND trial → L2 test, 2D scalar curl
+    (MixedScalarCurlIntegrator, fem/bilininteg.hpp:1053)."""
+    assert nd_space.mesh.dim == 2
+    rt = real_t(dtype)
+    gf, _, Cnd = _vec_tables(nd_space, nq1d, dtype)
+    Bl2 = _scalar_value(l2_fes, nq1d, rt)
+    return _make(nd_space, l2_fes, Cnd[..., None], Bl2, gf, coeff, rt)
+
+
+def vectorfe_divergence(rt_space, l2_fes, coeff=1.0, nq1d=3, dtype=None):
+    """(div u, q): RT trial → L2 test, any order
+    (VectorFEDivergenceIntegrator, fem/bilininteg.hpp:2121; generalizes the
+    RT0×P0 ``ops.block.mixed_divergence``)."""
+    rt = real_t(dtype)
+    gf, _, Drt = _vec_tables(rt_space, nq1d, dtype)
+    Bl2 = _scalar_value(l2_fes, nq1d, rt)
+    return _make(rt_space, l2_fes, Drt[..., None], Bl2, gf, coeff, rt)
+
+
+def mixed_scalar_mass(trial_fes, test_fes, coeff=1.0, nq1d=3, dtype=None):
+    """(u, q) across distinct scalar spaces, e.g. H1×L2
+    (MixedScalarMassIntegrator, fem/bilininteg.hpp:817)."""
+    rt = real_t(dtype)
+    from ..fem.basis import make_dof_to_quad
+    from ..fem.fespace import element_node_coords
+    from ..fem.geom_factors import compute_geometric_factors
+
+    mesh = trial_fes.mesh
+    d2q = make_dof_to_quad(mesh.geom, 1, nq1d)
+    gf = compute_geometric_factors(
+        element_node_coords(mesh, 1), d2q, dtype=dtype)
+    Bt = _scalar_value(trial_fes, nq1d, rt)
+    Bs = _scalar_value(test_fes, nq1d, rt)
+    return _make(trial_fes, test_fes, Bt, Bs, gf, coeff, rt)
