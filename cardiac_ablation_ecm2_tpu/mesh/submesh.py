@@ -44,11 +44,15 @@ def create_from_domain(parent: Mesh, attributes: Sequence[int]) -> SubMesh:
     from ..fem.geometry import FACES
 
     faces = Counter()
+    rep = {}                     # sorted key → properly ordered face cycle
     loc = FACES[parent.geom]
     for t in new_elems:
         for f in loc:
-            faces[tuple(sorted(int(t[v]) for v in f))] += 1
-    bdr = [list(f) for f, c in faces.items() if c == 1]
+            cyc = [int(t[v]) for v in f]
+            key = tuple(sorted(cyc))
+            faces[key] += 1
+            rep.setdefault(key, cyc)   # keep a valid cyclic ordering
+    bdr = [rep[f] for f, c in faces.items() if c == 1]
     # inherit parent's boundary attributes where faces coincide; interface
     # faces get a fresh attribute max+1 (SubMesh convention: new attribute)
     parent_bdr = {

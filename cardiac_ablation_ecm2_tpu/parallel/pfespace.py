@@ -93,6 +93,8 @@ def build(fes: FESpace, ndev: int, parts: np.ndarray = None) -> ParFESpace:
     gather = np.full((ndev, ne_loc, nd), nloc, dtype=np.int64)
     for d in range(ndev):
         g = gdofs[d]
+        if len(g) == 0:          # device owns no elements (e.g. an
+            continue             # inherited submesh partition) — all trash
         loc2glob[d, : len(g)] = g
         # map real elements' global dofs → local ids; padded elements' dofs
         # follow element 0 of the device (their weight is 0 so any target is
