@@ -76,40 +76,82 @@ def refine_quads(nc: NCQuadMesh, marks: np.ndarray,
                  balance: bool = True) -> Tuple["NCQuadMesh", np.ndarray]:
     """Refine marked quads 4-ways; re-derive constraints; enforce 2:1
     balance by propagation.  Returns (new NCQuadMesh, parent_of)."""
+    marks = np.asarray(marks, dtype=bool)
+    return refine_quads_aniso(nc, np.where(marks, ISO, 0), balance=balance)
+
+
+# refinement types (NCMesh ref_type bitmask analog, mesh/ncmesh.hpp:33:
+# X = split normal to the local x axis, Y = normal to y, ISO = both)
+X, Y, ISO = 1, 2, 3
+
+
+def refine_quads_aniso(nc: NCQuadMesh, types: np.ndarray,
+                       balance: bool = True
+                       ) -> Tuple["NCQuadMesh", np.ndarray]:
+    """Anisotropically refine quads (reference ``NCMesh::Refine`` with
+    ref_type, mesh/ncmesh.hpp:33,176): ``types[e]`` ∈ {0, X, Y, ISO}.
+
+    X splits the element across its local first axis (2 children sharing
+    the midpoints of local edges 0/2), Y across the second (edges 1/3),
+    ISO 4-ways.  Constraints are re-derived geometrically — anisotropic
+    hanging vertices are midpoints like isotropic ones, so the downstream
+    NCFESpace prolongation is unchanged.  2:1 balance propagates *typed*
+    forced refinements: the owner of an over-constrained master edge is
+    split in exactly the direction that subdivides that edge."""
     mesh = nc.mesh
     assert mesh.geom == Geometry.SQUARE
-    marks = np.asarray(marks, dtype=bool).copy()
+    types = np.asarray(types, dtype=np.int64).copy()
 
     for _ in range(64):
-        new = _refine_once(mesh, marks)
+        new = _refine_once(mesh, types)
         cons = _find_constraints(new.mesh_out)
         if not balance:
             break
-        # 2:1 violation: a hanging vertex that is itself a master endpoint of
-        # another constraint chain ⇒ the *unrefined* element owning the long
-        # edge must refine.  Detect: constraint whose master edge (a,b) has a
-        # constrained sub-edge — i.e. some other constraint's master is
-        # (a, v) or (v, b).
-        masters = {(int(r[1]), int(r[2])) for r in cons}
-        bad_edges = set()
-        for (v, a, b) in cons:
-            for sub in ((min(a, v), max(a, v)), (min(v, b), max(v, b))):
-                if sub in masters or (sub[1], sub[0]) in masters:
-                    bad_edges.add((min(a, b), max(a, b)))
+        # 2:1 violation, detected geometrically: an *element* edge (a,b)
+        # whose midpoint vertex exists (⇒ the neighbor refined once) AND a
+        # quarter-point vertex exists (⇒ the neighbor refined twice).  The
+        # owner must be split across that edge.  (Constraint-chain
+        # detection is insufficient: after a level-2 jump the intermediate
+        # half-edges are no longer element edges, so the deeper hanging
+        # vertices produce no constraint rows at all.)
+        bad_edges = _overrefined_edges(new.mesh_out)
         if not bad_edges:
             break
-        # find unrefined parents owning bad master edges and mark them too
-        extra = np.zeros(mesh.ne, dtype=bool)
+        # owners of bad master edges refine in the edge's direction
+        extra = np.zeros(mesh.ne, dtype=np.int64)
         for e in range(mesh.ne):
             t = mesh.elements[e]
             for i in range(4):
                 a, b = int(t[i]), int(t[(i + 1) % 4])
-                if (min(a, b), max(a, b)) in bad_edges:
-                    extra[e] = True
-        if not (extra & ~marks).any():
+                key = (min(a, b), max(a, b))
+                if key in bad_edges:
+                    extra[e] |= X if i in (0, 2) else Y
+        grown = (types | extra) != types
+        if not grown.any():
             break
-        marks |= extra
+        types |= extra
     return NCQuadMesh(mesh=new.mesh_out, constraints=cons), new.parent_of
+
+
+def _overrefined_edges(mesh: Mesh) -> set:
+    """Element edges (as *original-vertex-id* keys) with a level-≥2 jump:
+    midpoint and at least one quarter-point vertex exist.  Keys are mapped
+    back to pre-refinement vertex ids by position where possible — vertex
+    ids of surviving vertices are stable across ``_refine_once``."""
+    pos = {tuple(p): i for i, p in enumerate(mesh.vertices)}
+    bad = set()
+    for t in mesh.elements:
+        for i in range(4):
+            a, b = int(t[i]), int(t[(i + 1) % 4])
+            pa, pb = mesh.vertices[a], mesh.vertices[b]
+            pm = 0.5 * (pa + pb)
+            vm = pos.get(tuple(pm))
+            if vm is None:
+                continue
+            if (tuple(0.5 * (pa + pm)) in pos
+                    or tuple(0.5 * (pm + pb)) in pos):
+                bad.add((min(a, b), max(a, b)))
+    return bad
 
 
 @dataclasses.dataclass
@@ -118,7 +160,8 @@ class _RefineResult:
     parent_of: np.ndarray
 
 
-def _refine_once(mesh: Mesh, marks: np.ndarray) -> _RefineResult:
+def _refine_once(mesh: Mesh, types: np.ndarray) -> _RefineResult:
+    """Split each element per its type (0 none / X / Y / ISO)."""
     verts: List[np.ndarray] = [v for v in mesh.vertices]
     vpos: Dict[Tuple[float, float], int] = {
         tuple(p): i for i, p in enumerate(mesh.vertices)
@@ -134,23 +177,39 @@ def _refine_once(mesh: Mesh, marks: np.ndarray) -> _RefineResult:
     elems, attrs, parent = [], [], []
     for e in range(mesh.ne):
         t = mesh.elements[e]
-        if not marks[e]:
+        ty = int(types[e])
+        if ty == 0:
             elems.append(list(t))
             attrs.append(mesh.attributes[e])
             parent.append(e)
             continue
         p = mesh.vertices[t]
-        m01 = point_id(0.5 * (p[0] + p[1]))
-        m12 = point_id(0.5 * (p[1] + p[2]))
-        m23 = point_id(0.5 * (p[2] + p[3]))
-        m30 = point_id(0.5 * (p[3] + p[0]))
-        c = point_id(0.25 * (p[0] + p[1] + p[2] + p[3]))
-        children = [
-            [t[0], m01, c, m30],
-            [m01, t[1], m12, c],
-            [c, m12, t[2], m23],
-            [m30, c, m23, t[3]],
-        ]
+        if ty == 1:                       # X: split local edges 0 and 2
+            m01 = point_id(0.5 * (p[0] + p[1]))
+            m23 = point_id(0.5 * (p[2] + p[3]))
+            children = [
+                [t[0], m01, m23, t[3]],
+                [m01, t[1], t[2], m23],
+            ]
+        elif ty == 2:                     # Y: split local edges 1 and 3
+            m12 = point_id(0.5 * (p[1] + p[2]))
+            m30 = point_id(0.5 * (p[3] + p[0]))
+            children = [
+                [t[0], t[1], m12, m30],
+                [m30, m12, t[2], t[3]],
+            ]
+        else:                             # ISO
+            m01 = point_id(0.5 * (p[0] + p[1]))
+            m12 = point_id(0.5 * (p[1] + p[2]))
+            m23 = point_id(0.5 * (p[2] + p[3]))
+            m30 = point_id(0.5 * (p[3] + p[0]))
+            c = point_id(0.25 * (p[0] + p[1] + p[2] + p[3]))
+            children = [
+                [t[0], m01, c, m30],
+                [m01, t[1], m12, c],
+                [c, m12, t[2], m23],
+                [m30, c, m23, t[3]],
+            ]
         for ch in children:
             elems.append([int(x) for x in ch])
             attrs.append(mesh.attributes[e])
