@@ -31,6 +31,19 @@ from ..ops import diffusion, mass
 from ..utils.config import index_t, real_t
 
 
+def _collapse_uniform(qd: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Collapse the element axis to size 1 when every element's qdata is
+    identical to 1e-12 relative (uniform lattice, constant coefficients);
+    elementwise kernels broadcast the shared slice from VMEM instead of
+    streaming it from HBM."""
+    ref = jax.lax.slice_in_dim(qd, 0, 1, axis=axis)
+    scale = float(jnp.max(jnp.abs(ref)))
+    dev = float(jnp.max(jnp.abs(qd - ref)))
+    if scale > 0 and dev <= 1e-12 * scale:
+        return ref
+    return qd
+
+
 @dataclasses.dataclass(eq=False)
 class BioheatOperator:
     """TimeDependentOperator for the Pennes equation.
@@ -65,6 +78,12 @@ class BioheatOperator:
     #: 0.34 K rise over 5 steps); θ keeps full relative precision on the
     #: physically meaningful rise.  Requires boundary temperature == T_a.
     theta_form: bool = False
+    #: collapse per-element qdata to one shared slice when all elements are
+    #: identical (uniform lattice + constant coefficients): the CG apply
+    #: then streams only the state/E-vectors instead of the 6-sym qdata —
+    #: the dominant HBM stream at 1M dofs.  Detected numerically (1e-12
+    #: relative); elementwise broadcasting keeps every kernel unchanged.
+    collapse_uniform_qdata: bool = False
 
     def __post_init__(self):
         fes = self.fes
@@ -168,6 +187,11 @@ class BioheatOperator:
             self.Mrc_qd, self.Mw_qd, self.K_qd
         )
 
+        if self.collapse_uniform_qdata:
+            self.Mrc_qd = _collapse_uniform(self.Mrc_qd, axis=0)
+            self.Mw_qd = _collapse_uniform(self.Mw_qd, axis=0)
+            self.K_qd = _collapse_uniform(self.K_qd, axis=1)
+
         if self.theta_form:
             # b_θ = b − A(T_a·1): constants are in K's kernel so this mostly
             # cancels the perfusion source; computed once (setup path)
@@ -188,6 +212,15 @@ class BioheatOperator:
         out = mass.apply(self.db, qd_mass, e) + diffusion.apply(
             self.db, qd_diff, e
         )
+        return self.restr.mult_transpose(out)
+
+    def _implicit_lhs_apply(self, gamma, v):
+        """(M_ρc + γ(K + M_ω)) v in ONE restriction round trip (the naive
+        M-apply + A-apply pair costs an extra gather/scatter per CG
+        iteration)."""
+        e = self.restr.mult(v)
+        out = mass.apply(self.db, self.Mrc_qd + gamma * self.Mw_qd, e) \
+            + gamma * diffusion.apply(self.db, self.K_qd, e)
         return self.restr.mult_transpose(out)
 
     def _A_apply(self, v):
@@ -232,7 +265,7 @@ class BioheatOperator:
 
         def lhs(v):
             z = v * mask
-            y = self._Mrc_apply(z) + gamma * self._A_apply(z)
+            y = self._implicit_lhs_apply(gamma, z)
             # identity on the constrained subspace keeps the operator SPD
             return y * mask + (v - z)
 
