@@ -36,10 +36,14 @@ class VarOrderFESpace:
 
     def __post_init__(self):
         mesh = self.mesh
-        assert mesh.geom == Geometry.SQUARE, "varorder: quad meshes (round 2)"
         orders = np.asarray(self.orders, dtype=np.int64)
         assert len(orders) == mesh.ne
         self.orders = orders
+        if mesh.geom == Geometry.CUBE:
+            self._build_3d()
+            return
+        assert mesh.geom == Geometry.SQUARE, \
+            "varorder: quad/hex meshes"
 
         edges, elem_edge = unique_edges(mesh)
         nedge = len(edges)
@@ -159,26 +163,228 @@ class VarOrderFESpace:
             }
 
     # ------------------------------------------------------------------
+    def _build_3d(self):
+        """Hex path: edge min-rule (1D traces) + face min-rule (2D tensor
+        traces in the face's *canonical frame* — origin at the min global
+        vertex id, u-axis toward its smaller-id neighbor, the same
+        element-independent convention as the entity-key numbering), with
+        demoted-face edge nodes composed through the edges' own orders
+        (edge_order ≤ face_order always holds under the min rule)."""
+        from ..mesh.mesh import unique_faces
+        from .geometry import FACES, REF_VERTS
+
+        mesh = self.mesh
+        orders = self.orders
+        edges, elem_edge = unique_edges(mesh)
+        faces, elem_face = unique_faces(mesh)
+        nedge, nface = len(edges), len(faces)
+
+        edge_order = np.full(nedge, 10 ** 9, dtype=np.int64)
+        face_order = np.full(nface, 10 ** 9, dtype=np.int64)
+        for e in range(mesh.ne):
+            for le in range(12):
+                eid = elem_edge[e, le]
+                edge_order[eid] = min(edge_order[eid], orders[e])
+            for lf in range(6):
+                fid = elem_face[e, lf]
+                face_order[fid] = min(face_order[fid], orders[e])
+        self.edge_order, self.face_order = edge_order, face_order
+
+        nv = mesh.nv
+        edge_base = np.zeros(nedge + 1, dtype=np.int64)
+        np.cumsum(np.maximum(edge_order - 1, 0), out=edge_base[1:])
+        edge_base = nv + edge_base
+        face_base = np.zeros(nface + 1, dtype=np.int64)
+        np.cumsum(np.maximum(face_order - 1, 0) ** 2, out=face_base[1:])
+        face_base = edge_base[-1] + face_base
+        cell_base = np.zeros(mesh.ne + 1, dtype=np.int64)
+        np.cumsum((orders - 1) ** 3, out=cell_base[1:])
+        cell_base = face_base[-1] + cell_base
+        self.ndof = int(cell_base[-1])
+        self._edge_base, self._face_base = edge_base, face_base
+        self._edges = edges
+        self._faces = faces
+
+        ekey = {tuple(sorted(map(int, r))): i for i, r in enumerate(edges)}
+        rv = REF_VERTS[Geometry.CUBE]
+        loc_faces = FACES[Geometry.CUBE]
+        P2 = np.array([(0, 0), (1, 0), (1, 1), (0, 1)], dtype=np.float64)
+
+        groups: Dict[int, List[int]] = {}
+        for e in range(mesh.ne):
+            groups.setdefault(int(orders[e]), []).append(e)
+        self.groups = {}
+
+        for p, els in groups.items():
+            mi = lattice_multi_index(Geometry.CUBE, p)
+            nd = len(mi)
+            latt_index = {tuple(q): i for i, q in enumerate(mi)}
+            corner_latt = [tuple(int(c) * p for c in v) for v in rv]
+            gll_p = h1_nodes_1d(p)
+            cap = 8 + 12 * (p - 1) + 6 * (p - 1) ** 2 + (p - 1) ** 3 + 8
+            slot_rows, T_rows = [], []
+            for e in els:
+                conn = [int(v) for v in mesh.elements[e]]
+                slots: List[int] = []
+                slot_of: Dict[int, int] = {}
+                T = np.zeros((nd, cap))
+
+                def slot(g):
+                    g = int(g)
+                    if g not in slot_of:
+                        slot_of[g] = len(slots)
+                        slots.append(g)
+                    return slot_of[g]
+
+                for lv in range(8):
+                    T[latt_index[corner_latt[lv]], slot(conn[lv])] = 1.0
+
+                # --- 12 edges (own order: direct; demoted: 1D interp) ---
+                for le, (a, b) in enumerate(EDGES[Geometry.CUBE]):
+                    eid = elem_edge[e, le]
+                    q = int(edge_order[eid])
+                    la = np.array(corner_latt[a])
+                    lb = np.array(corner_latt[b])
+                    pts = [tuple(la + (lb - la) * t // p)
+                           for t in range(1, p)]
+                    ga, gb = conn[a], conn[b]
+                    fwd = ga < gb
+                    tloc = gll_p[1:p]
+                    tglob = tloc if fwd else 1.0 - tloc
+                    if q == p:
+                        for k in range(p - 1):
+                            g = int(edge_base[eid] + k)
+                            idx = k if fwd else (p - 2 - k)
+                            T[latt_index[pts[idx]], slot(g)] = 1.0
+                    else:
+                        gll_q = h1_nodes_1d(q)
+                        B, _ = lagrange_matrices(gll_q, np.asarray(tglob))
+                        smin = slot(min(ga, gb))
+                        smax = slot(max(ga, gb))
+                        for j, latt in enumerate(pts):
+                            r = latt_index[latt]
+                            T[r, smin] += B[j, 0]
+                            T[r, smax] += B[j, q]
+                            for k in range(q - 1):
+                                T[r, slot(edge_base[eid] + k)] += B[j, k + 1]
+
+                # --- 6 faces ---
+                for lf, fc in enumerate(loc_faces):
+                    fid = elem_face[e, lf]
+                    q = int(face_order[fid])
+                    G = [conn[c] for c in fc]
+                    l0 = np.array(corner_latt[fc[0]])
+                    l1 = np.array(corner_latt[fc[1]])
+                    l3 = np.array(corner_latt[fc[3]])
+                    r0 = int(np.argmin(G))
+                    d = 1 if G[(r0 + 1) % 4] < G[(r0 - 1) % 4] else -1
+                    cyc = [(r0 + d * k) % 4 for k in range(4)]
+                    Gcyc = [G[c] for c in cyc]
+                    A2 = P2[cyc[0]]
+                    Bax = P2[cyc[1]] - A2
+                    Cax = P2[cyc[3]] - A2
+                    gll_q = h1_nodes_1d(q)
+                    for j in range(1, p):
+                        for i in range(1, p):
+                            latt = tuple(l0 + (l1 - l0) * i // p
+                                         + (l3 - l0) * j // p)
+                            r = latt_index[latt]
+                            st = np.array([gll_p[i], gll_p[j]]) - A2
+                            u = float(Bax @ st)
+                            v = float(Cax @ st)
+                            if q == p:
+                                iu = int(np.argmin(np.abs(gll_p - u)))
+                                iv = int(np.argmin(np.abs(gll_p - v)))
+                                g = int(face_base[fid]
+                                        + (iv - 1) * (q - 1) + (iu - 1))
+                                T[r, slot(g)] = 1.0
+                                continue
+                            Bu, _ = lagrange_matrices(gll_q,
+                                                      np.array([u]))
+                            Bv, _ = lagrange_matrices(gll_q,
+                                                      np.array([v]))
+                            Bu, Bv = Bu[0], Bv[0]
+                            for bb in range(q + 1):
+                                for aa in range(q + 1):
+                                    w = Bu[aa] * Bv[bb]
+                                    if abs(w) < 1e-14:
+                                        continue
+                                    on_a = aa in (0, q)
+                                    on_b = bb in (0, q)
+                                    if on_a and on_b:
+                                        k = {(0, 0): 0, (q, 0): 1,
+                                             (q, q): 2, (0, q): 3}[(aa, bb)]
+                                        T[r, slot(Gcyc[k])] += w
+                                    elif on_a or on_b:
+                                        if bb == 0:
+                                            gA, gB = Gcyc[0], Gcyc[1]
+                                            tp = gll_q[aa]
+                                        elif bb == q:
+                                            gA, gB = Gcyc[3], Gcyc[2]
+                                            tp = gll_q[aa]
+                                        elif aa == 0:
+                                            gA, gB = Gcyc[0], Gcyc[3]
+                                            tp = gll_q[bb]
+                                        else:
+                                            gA, gB = Gcyc[1], Gcyc[2]
+                                            tp = gll_q[bb]
+                                        eid2 = ekey[tuple(sorted((gA, gB)))]
+                                        q2 = int(edge_order[eid2])
+                                        tg = tp if gA < gB else 1.0 - tp
+                                        B1, _ = lagrange_matrices(
+                                            h1_nodes_1d(q2),
+                                            np.array([tg]))
+                                        B1 = B1[0]
+                                        T[r, slot(min(gA, gB))] += w * B1[0]
+                                        T[r, slot(max(gA, gB))] += w * B1[q2]
+                                        for k in range(q2 - 1):
+                                            T[r, slot(edge_base[eid2] + k)] \
+                                                += w * B1[k + 1]
+                                    else:
+                                        g = int(face_base[fid]
+                                                + (bb - 1) * (q - 1)
+                                                + (aa - 1))
+                                        T[r, slot(g)] += w
+                # --- interior ---
+                for kk in range(1, p):
+                    for jj in range(1, p):
+                        for ii in range(1, p):
+                            g = int(cell_base[e]
+                                    + ((kk - 1) * (p - 1) + (jj - 1))
+                                    * (p - 1) + (ii - 1))
+                            T[latt_index[(ii, jj, kk)], slot(g)] = 1.0
+                slot_rows.append(slots)
+                T_rows.append(T[:, : len(slots)])
+            ns = max(len(s) for s in slot_rows)
+            S = np.full((len(els), ns), self.ndof, dtype=np.int64)
+            Tb = np.zeros((len(els), nd, ns))
+            for i, (sl, Tm) in enumerate(zip(slot_rows, T_rows)):
+                S[i, : len(sl)] = sl
+                Tb[i, :, : Tm.shape[1]] = Tm
+            self.groups[p] = {
+                "elems": np.array(els, dtype=np.int64),
+                "slots": S, "T": Tb,
+            }
+
+    # ------------------------------------------------------------------
     def dof_coords(self) -> np.ndarray:
         """Physical coordinates of every global dof (for BCs/projection)."""
         import numpy as np
+
+        from .estimators import _vertex_basis_at
 
         X = np.zeros((self.ndof, self.mesh.sdim))
         X[: self.mesh.nv] = self.mesh.vertices
         got = np.zeros(self.ndof, dtype=bool)
         got[: self.mesh.nv] = True
         for p, g in self.groups.items():
-            mi = lattice_multi_index(Geometry.SQUARE, p)
+            mi = lattice_multi_index(self.mesh.geom, p)
             gll = h1_nodes_1d(p)
-            ref = gll[mi]                                # (nd, 2)
+            ref = gll[mi]                                # (nd, dim)
+            S = _vertex_basis_at(self.mesh.geom, ref)    # (nd, nvpe)
             for i, e in enumerate(g["elems"]):
                 quad = self.mesh.vertices[self.mesh.elements[e]]
-                # bilinear map
-                u, v = ref[:, 0], ref[:, 1]
-                phys = ((1 - u)[:, None] * (1 - v)[:, None] * quad[0]
-                        + u[:, None] * (1 - v)[:, None] * quad[1]
-                        + u[:, None] * v[:, None] * quad[2]
-                        + (1 - u)[:, None] * v[:, None] * quad[3])
+                phys = S @ quad
                 T = g["T"][i]
                 slots = g["slots"][i]
                 # a dof owned at its own interpolation point: T column has
@@ -194,8 +400,10 @@ class VarOrderFESpace:
         return X
 
     def essential_dofs(self, bdr_marker=None) -> np.ndarray:
-        """Global dofs on marked boundary attributes (vertices + edges)."""
+        """Global dofs on marked boundary attributes."""
         mesh = self.mesh
+        if mesh.geom == Geometry.CUBE:
+            return self._essential_dofs_3d(bdr_marker)
         edges, elem_edge = unique_edges(mesh)
         ekey = {tuple(sorted(map(int, r))): i for i, r in enumerate(edges)}
         nv = mesh.nv
@@ -215,6 +423,29 @@ class VarOrderFESpace:
                 out.add(int(edge_base[eid] + k))
         return np.array(sorted(out), dtype=np.int64)
 
+    def _essential_dofs_3d(self, bdr_marker=None) -> np.ndarray:
+        mesh = self.mesh
+        ekey = {tuple(sorted(map(int, r))): i
+                for i, r in enumerate(self._edges)}
+        fkey = {tuple(sorted(map(int, r))): i
+                for i, r in enumerate(self._faces)}
+        out = set()
+        for row, a in zip(mesh.boundary, mesh.bdr_attributes):
+            if bdr_marker is not None and int(a) not in set(bdr_marker):
+                continue
+            vs = [int(v) for v in row]
+            out.update(vs)
+            for i in range(4):
+                eid = ekey[tuple(sorted((vs[i], vs[(i + 1) % 4])))]
+                q = int(self.edge_order[eid])
+                for k in range(q - 1):
+                    out.add(int(self._edge_base[eid] + k))
+            fid = fkey[tuple(sorted(vs))]
+            q = int(self.face_order[fid])
+            for k in range((q - 1) ** 2):
+                out.add(int(self._face_base[fid] + k))
+        return np.array(sorted(out), dtype=np.int64)
+
 
 def diffusion_operator(sp: VarOrderFESpace, dtype=None):
     """Matrix-free (∇u, ∇v) on the variable-order space.
@@ -230,21 +461,20 @@ def diffusion_operator(sp: VarOrderFESpace, dtype=None):
     from .quadinterp import device_basis
     from ..ops import diffusion as dmod
 
+    from .estimators import _vertex_basis_at
+
     rt = real_t(dtype)
     mesh = sp.mesh
     gops = []
     for p, g in sp.groups.items():
-        d2q = make_dof_to_quad(Geometry.SQUARE, p)
+        d2q = make_dof_to_quad(mesh.geom, p)
         db = device_basis(d2q, dtype)
-        X = mesh.vertices[mesh.elements[g["elems"]]]     # (neg, 4, 2)
-        # order-p nodes of each element via bilinear map
-        mi = lattice_multi_index(Geometry.SQUARE, p)
+        X = mesh.vertices[mesh.elements[g["elems"]]]     # (neg, nvpe, dim)
+        # order-p nodes of each element via the (multi)linear vertex map
+        mi = lattice_multi_index(mesh.geom, p)
         gll = h1_nodes_1d(p)
-        u, v = gll[mi[:, 0]], gll[mi[:, 1]]
-        Xe = ((1 - u)[None, :, None] * (1 - v)[None, :, None] * X[:, 0:1]
-              + u[None, :, None] * (1 - v)[None, :, None] * X[:, 1:2]
-              + u[None, :, None] * v[None, :, None] * X[:, 2:3]
-              + (1 - u)[None, :, None] * v[None, :, None] * X[:, 3:4])
+        S = _vertex_basis_at(mesh.geom, gll[mi])         # (nd, nvpe)
+        Xe = np.einsum("nv,evd->end", S, X)
         gf = compute_geometric_factors(jnp.asarray(Xe, rt), d2q, dtype)
         qd = dmod.setup_packed(gf, 1.0)
         gops.append({

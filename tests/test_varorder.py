@@ -177,3 +177,64 @@ def test_p_adaptive_poisson_vs_reference():
     rng = np.random.default_rng(3)
     emix = solve_var(rng.integers(2, 5, mesh.ne))
     assert e4 < emix < e2, (e2, emix, e4)
+
+
+def _mixed_space_3d(nx=3, ny=2, nz=2, seed=0):
+    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_3d
+
+    mesh = make_cartesian_3d(nx, ny, nz)
+    rng = np.random.default_rng(seed)
+    return VarOrderFESpace(mesh, rng.integers(2, 5, mesh.ne))
+
+
+def test_hex_quadratic_exactness():
+    """u = x²+y²+z² lies in the space (min order 2): energy identity
+    a(u,u) = ∫|∇u|² = 4 on the unit cube — exercises the face min-rule
+    constraints including demoted faces composed through demoted edges."""
+    sp = _mixed_space_3d()
+    mult, _ = diffusion_operator(sp)
+    X = sp.dof_coords()
+    u = jnp.asarray(X[:, 0] ** 2 + X[:, 1] ** 2 + X[:, 2] ** 2)
+    assert np.isclose(float(u @ mult(u)), 4.0, rtol=1e-10)
+
+
+def test_hex_linear_annihilation_and_symmetry():
+    sp = _mixed_space_3d(seed=3)
+    mult, _ = diffusion_operator(sp)
+    X = sp.dof_coords()
+    lin = jnp.asarray(1.0 + 2 * X[:, 0] - 0.5 * X[:, 1] + X[:, 2])
+    r = mult(lin)
+    ess = sp.essential_dofs()
+    mask = np.ones(sp.ndof, bool)
+    mask[ess] = False
+    assert float(jnp.abs(r[jnp.asarray(np.nonzero(mask)[0])]).max()) < 1e-10
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal(sp.ndof))
+    b = jnp.asarray(rng.standard_normal(sp.ndof))
+    assert np.isclose(float(a @ mult(b)), float(b @ mult(a)), rtol=1e-12)
+
+
+def test_hex_p_adaptive_poisson_exact_quadratic():
+    """Dirichlet Poisson with exact solution x²+y²+z² is reproduced to
+    solver tolerance on the mixed-order hex space."""
+    sp = _mixed_space_3d(3, 3, 2, seed=7)
+    mult, diag = diffusion_operator(sp)
+    X = sp.dof_coords()
+    u_ex = jnp.asarray(X[:, 0] ** 2 + X[:, 1] ** 2 + X[:, 2] ** 2)
+    ess = sp.essential_dofs()
+    mask = np.ones(sp.ndof)
+    mask[ess] = 0.0
+    m = jnp.asarray(mask)
+    w = u_ex * (1 - m)
+    # interior rows of (f,v) = a(u_ex, v); eliminate the BC coupling
+    b = (mult(u_ex) - mult(w)) * m + w
+
+    def A(v):
+        z = v * m
+        return mult(z) * m + (v - z)
+
+    d = diag() * m + (1 - m)
+    u, info = cg(A, b, M=lambda r: r / d, rel_tol=1e-13, max_iter=4000)
+    assert bool(info.converged)
+    err = float(jnp.abs(u - u_ex).max())
+    assert err < 1e-9, err
