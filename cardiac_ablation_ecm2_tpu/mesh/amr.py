@@ -195,3 +195,137 @@ def interp_after_refine(old_fes, new_fes, u_old) -> np.ndarray:
 
     vals = evaluate_at_points(old_fes, np.asarray(u_old), new_fes.dof_coords)
     return jnp.asarray(vals)
+
+
+# ---------------------------------------------------------------------------
+# 3D: conforming longest-edge bisection for tetrahedra
+# ---------------------------------------------------------------------------
+
+_TET_EDGES = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
+def bisect_marked_tets(mesh: Mesh, marks: np.ndarray,
+                       max_rounds: int = 200) -> Tuple[Mesh, np.ndarray]:
+    """Bisect marked tets (longest-edge / Rivara) with conforming closure.
+
+    Reference analog: ``Mesh::GeneralRefinement`` on tet meshes — the
+    reference uses NCMesh hanging nodes; here (as for triangles, SURVEY §7
+    hard-part 4) adaptivity is *conforming*: every tet is bisected across
+    its longest edge (ties broken by the sorted global-id pair, so the two
+    tets sharing a face always agree), and any tet with a midpoint hanging
+    on one of its edges is bisected until no hanging midpoints remain —
+    the Rivara longest-edge propagation, which terminates.
+
+    Returns (new mesh, parent_of) with boundary triangles split
+    consistently and attributes inherited.
+    """
+    if mesh.geom != Geometry.TETRAHEDRON:
+        raise NotImplementedError("bisect_marked_tets: tet meshes")
+    tets = [list(map(int, t)) for t in mesh.elements]
+    attrs = list(mesh.attributes)
+    parent = list(range(len(tets)))
+    alive = [True] * len(tets)
+    verts: List[np.ndarray] = [v for v in mesh.vertices]
+    midpoint: Dict[Tuple[int, int], int] = {}
+
+    def ekey(a, b):
+        return (a, b) if a < b else (b, a)
+
+    def get_mid(a, b):
+        k = ekey(a, b)
+        if k not in midpoint:
+            verts.append(0.5 * (verts[a] + verts[b]))
+            midpoint[k] = len(verts) - 1
+        return midpoint[k]
+
+    def longest_edge(t):
+        """Longest edge of tet t; ties broken by the sorted id pair (both
+        tets sharing a face pick the same edge of that face)."""
+        best = None
+        for (i, j) in _TET_EDGES:
+            a, b = t[i], t[j]
+            L = float(np.dot(verts[a] - verts[b], verts[a] - verts[b]))
+            cand = (-L, ekey(a, b))
+            if best is None or cand < best:
+                best = cand
+        return best[1]
+
+    def bisect(i):
+        t = tets[i]
+        a, b = longest_edge(t)
+        m = get_mid(a, b)
+        ia, ib = t.index(a), t.index(b)
+        c1 = list(t)
+        c1[ib] = m
+        c2 = list(t)
+        c2[ia] = m
+        alive[i] = False
+        for ch in (c1, c2):
+            tets.append(ch)
+            attrs.append(attrs[i])
+            parent.append(parent[i])
+            alive.append(True)
+
+    for i in np.nonzero(np.asarray(marks, dtype=bool))[0]:
+        if alive[int(i)]:
+            bisect(int(i))
+
+    # conforming closure: bisect any tet with a hanging edge midpoint
+    for _ in range(max_rounds):
+        dirty = []
+        for i in range(len(tets)):
+            if not alive[i]:
+                continue
+            t = tets[i]
+            if any(ekey(t[p], t[q]) in midpoint for (p, q) in _TET_EDGES):
+                dirty.append(i)
+        if not dirty:
+            break
+        for i in dirty:
+            if alive[i]:
+                bisect(i)
+    else:
+        raise RuntimeError("tet bisection closure did not terminate")
+
+    keep = [i for i in range(len(tets)) if alive[i]]
+    new_tets = np.array([tets[i] for i in keep], dtype=np.int64)
+    new_attrs = np.array([attrs[i] for i in keep], dtype=np.int64)
+    parent_of = np.array([parent[i] for i in keep], dtype=np.int64)
+
+    # boundary: split boundary triangles across their midpointed edges
+    bdr, battr = [], []
+    for tri, a in zip(mesh.boundary, mesh.bdr_attributes):
+        stack = [tuple(int(v) for v in tri)]
+        while stack:
+            f = stack.pop()
+            split = None
+            # split across the LONGEST midpointed edge (matches the tet
+            # bisection order, which always splits longest-first)
+            best = None
+            for k in range(3):
+                p, q = f[k], f[(k + 1) % 3]
+                if ekey(p, q) in midpoint:
+                    L = float(np.dot(verts[p] - verts[q],
+                                     verts[p] - verts[q]))
+                    cand = (-L, ekey(p, q), k)
+                    if best is None or cand < best:
+                        best = cand
+            if best is not None:
+                k = best[2]
+                p, q = f[k], f[(k + 1) % 3]
+                r = f[(k + 2) % 3]
+                m = midpoint[ekey(p, q)]
+                stack += [(p, m, r), (m, q, r)]
+            else:
+                bdr.append(list(f))
+                battr.append(a)
+
+    new_mesh = Mesh(
+        geom=Geometry.TETRAHEDRON,
+        vertices=np.array(verts),
+        elements=new_tets,
+        attributes=new_attrs,
+        boundary=np.array(bdr, dtype=np.int64),
+        bdr_attributes=np.array(battr, dtype=np.int64),
+    )
+    return new_mesh, parent_of
