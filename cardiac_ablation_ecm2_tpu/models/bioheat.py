@@ -26,7 +26,7 @@ from ..fem.build import basis_for, geom_factors_for, restriction_for
 from ..fem.coefficient import eval_coeff
 from ..fem.fespace import FESpace
 from ..fem.quadinterp import eval_values_t
-from ..linalg.solvers import cg
+from ..linalg.solvers import cg, default_dot
 from ..ops import diffusion, mass
 from ..utils.config import index_t, real_t
 
@@ -84,6 +84,12 @@ class BioheatOperator:
     #: the dominant HBM stream at 1M dofs.  Detected numerically (1e-12
     #: relative); elementwise broadcasting keeps every kernel unchanged.
     collapse_uniform_qdata: bool = False
+    #: CG inner products: "compensated" (lane-Kahan + f64 partials — needed
+    #: for tight tolerances where the MFEM (r,z) criterion stagnates in
+    #: f32), "f32" (plain — measured identical iteration counts at
+    #: rel_tol ≥ 1e-6, ~0.3 ms/iteration cheaper on v5e), or "auto"
+    #: (f32 iff rel_tol ≥ 1e-6).
+    dot_mode: str = "auto"
 
     def __post_init__(self):
         fes = self.fes
@@ -192,6 +198,29 @@ class BioheatOperator:
             self.Mw_qd = _collapse_uniform(self.Mw_qd, axis=0)
             self.K_qd = _collapse_uniform(self.K_qd, axis=1)
 
+        # transposed full-matrix apply (see _implicit_lhs_apply): needs the
+        # collapsed qdata and a 3D tensor basis
+        self._T_mats = None
+        if (self.collapse_uniform_qdata and self.Mrc_qd.shape[0] == 1
+                and self.K_qd.shape[1] == 1
+                and getattr(self.db, "B1", None) is not None
+                and self.db.dim == 3):
+            B1 = np.asarray(self.db.B1)
+            G1 = np.asarray(self.db.G1)
+            rt = B1.dtype
+            Bf = np.kron(B1, np.kron(B1, B1))
+            Gx = np.kron(B1, np.kron(B1, G1))
+            Gy = np.kron(B1, np.kron(G1, B1))
+            Gz = np.kron(G1, np.kron(B1, B1))
+            self._T_mats = tuple(jnp.asarray(a, rt)
+                                 for a in (Bf, Gx, Gy, Gz))
+            self._qkT = jnp.asarray(
+                np.asarray(self.K_qd)[:, 0, :, None])    # (6, nq, 1)
+            self._qmT = jnp.asarray(
+                np.asarray(self.Mrc_qd)[0][:, None])     # (nq, 1)
+            self._qwT = jnp.asarray(
+                np.asarray(self.Mw_qd)[0][:, None])
+
         if self.theta_form:
             # b_θ = b − A(T_a·1): constants are in K's kernel so this mostly
             # cancels the perfusion source; computed once (setup path)
@@ -217,7 +246,31 @@ class BioheatOperator:
     def _implicit_lhs_apply(self, gamma, v):
         """(M_ρc + γ(K + M_ω)) v in ONE restriction round trip (the naive
         M-apply + A-apply pair costs an extra gather/scatter per CG
-        iteration)."""
+        iteration).
+
+        Transposed fast path (when qdata is collapsed): with the E-vector
+        laid out (nd, ne), every contraction is a (nq×nd)@(nd, ne) matmul —
+        the element axis rides the 128-lane dimension, so the MXU runs at
+        full occupancy instead of contracting over size-3 trailing dims.
+        Measured on v5e at 912k dofs: 1.38 → 0.84 ms/apply AND 10× lower
+        fp error vs the f64 reference (full-width HIGHEST matmuls beat the
+        staged einsum chain's accumulation)."""
+        if self._T_mats is not None:
+            import jax
+
+            Bf, Gx, Gy, Gz = self._T_mats
+            q = self._qkT
+            P = jax.lax.Precision.HIGHEST
+            mm = lambda A, b: jnp.matmul(A, b, precision=P)  # noqa: E731
+            eT = self.restr.mult(v).T                        # (nd, ne)
+            gx, gy, gz = mm(Gx, eT), mm(Gy, eT), mm(Gz, eT)
+            Dx = q[0] * gx + q[3] * gy + q[4] * gz
+            Dy = q[3] * gx + q[1] * gy + q[5] * gz
+            Dz = q[4] * gx + q[5] * gy + q[2] * gz
+            bu = mm(Bf, eT)
+            yT = gamma * (mm(Gx.T, Dx) + mm(Gy.T, Dy) + mm(Gz.T, Dz)) \
+                + mm(Bf.T, (self._qmT + gamma * self._qwT) * bu)
+            return self.restr.mult_transpose(yT.T)
         e = self.restr.mult(v)
         out = mass.apply(self.db, self.Mrc_qd + gamma * self.Mw_qd, e) \
             + gamma * diffusion.apply(self.db, self.K_qd, e)
@@ -234,6 +287,14 @@ class BioheatOperator:
     def residual(self, T):
         """RHS of M dT/dt = −A T + b."""
         return self.b_const - self._A_apply(T)
+
+    def _dot(self):
+        mode = self.dot_mode
+        if mode == "auto":
+            mode = "f32" if self.rel_tol >= 1e-6 else "compensated"
+        if mode == "f32":
+            return jnp.vdot
+        return default_dot
 
     def _zero_ess(self, v):
         if self.has_ess:
@@ -255,7 +316,7 @@ class BioheatOperator:
             diag = diag * mask + (1.0 - mask)
         inv = 1.0 / diag
         x, _ = cg(Mc, rhs, M=lambda r: inv * r, rel_tol=self.rel_tol,
-                  max_iter=self.max_iter)
+                  max_iter=self.max_iter, dot=self._dot())
         return self._zero_ess(x)
 
     def implicit_solve(self, gamma, t, T):
@@ -274,7 +335,7 @@ class BioheatOperator:
             diag = diag * mask + (1.0 - mask)
         inv = 1.0 / diag
         k, _ = cg(lhs, rhs, M=lambda r: inv * r, rel_tol=self.rel_tol,
-                  max_iter=self.max_iter)
+                  max_iter=self.max_iter, dot=self._dot())
         return self._zero_ess(k)
 
 
