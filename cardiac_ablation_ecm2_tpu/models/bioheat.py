@@ -90,6 +90,12 @@ class BioheatOperator:
     #: rel_tol ≥ 1e-6, ~0.3 ms/iteration cheaper on v5e), or "auto"
     #: (f32 iff rel_tol ≥ 1e-6).
     dot_mode: str = "auto"
+    #: lane-major (nd, ne) implicit apply (3D tensor bases): contractions
+    #: become (nq×nd)@(nd, ne) matmuls with elements on the 128-lane axis —
+    #: faster AND more accurate than the staged einsum chain (see
+    #: _implicit_lhs_apply).  Works with collapsed (broadcast) or full
+    #: per-element qdata (pre-transposed once at setup).
+    transposed_apply: bool = True
 
     def __post_init__(self):
         fes = self.fes
@@ -198,11 +204,12 @@ class BioheatOperator:
             self.Mw_qd = _collapse_uniform(self.Mw_qd, axis=0)
             self.K_qd = _collapse_uniform(self.K_qd, axis=1)
 
-        # transposed full-matrix apply (see _implicit_lhs_apply): needs the
-        # collapsed qdata and a 3D tensor basis
+        # transposed (lane-major) full-matrix apply — see
+        # _implicit_lhs_apply.  Collapsed qdata broadcasts a (nq, 1) slice;
+        # general per-element qdata is pre-transposed to (nq, ne) once at
+        # setup (same total bytes, lane-major stream).
         self._T_mats = None
-        if (self.collapse_uniform_qdata and self.Mrc_qd.shape[0] == 1
-                and self.K_qd.shape[1] == 1
+        if (self.transposed_apply
                 and getattr(self.db, "B1", None) is not None
                 and self.db.dim == 3):
             B1 = np.asarray(self.db.B1)
@@ -214,12 +221,9 @@ class BioheatOperator:
             Gz = np.kron(G1, np.kron(B1, B1))
             self._T_mats = tuple(jnp.asarray(a, rt)
                                  for a in (Bf, Gx, Gy, Gz))
-            self._qkT = jnp.asarray(
-                np.asarray(self.K_qd)[:, 0, :, None])    # (6, nq, 1)
-            self._qmT = jnp.asarray(
-                np.asarray(self.Mrc_qd)[0][:, None])     # (nq, 1)
-            self._qwT = jnp.asarray(
-                np.asarray(self.Mw_qd)[0][:, None])
+            self._qkT = jnp.transpose(self.K_qd, (0, 2, 1))  # (6, nq, ne|1)
+            self._qmT = self.Mrc_qd.T                        # (nq, ne|1)
+            self._qwT = self.Mw_qd.T
 
         if self.theta_form:
             # b_θ = b − A(T_a·1): constants are in K's kernel so this mostly
