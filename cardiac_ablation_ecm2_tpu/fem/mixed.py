@@ -45,6 +45,9 @@ class MixedMesh:
     blocks: Tuple                              # ((geom, elements, attrs), …)
     boundary: np.ndarray                       # (nbe, 2) segments (2D)
     bdr_attributes: np.ndarray
+    #: 3D: per-shape boundary face blocks ((geom, faces, attrs), …) —
+    #: quad and tri faces of a mixed hex/wedge/pyramid/tet mesh
+    boundary_blocks: Tuple = ()
 
     @property
     def nv(self) -> int:
@@ -155,6 +158,23 @@ class MixedFESpace:
     # ------------------------------------------------------------------
     def essential_dofs(self, bdr_marker=None) -> np.ndarray:
         mesh = self.mesh
+        if mesh.boundary_blocks:                   # 3D mixed boundary
+            if self.order > 1:
+                raise NotImplementedError(
+                    "3D mixed essential dofs: order 1 (vertex dofs) — "
+                    "higher orders need per-shape face dof enumeration")
+            bverts = set()
+            for (geom, faces, attrs) in mesh.boundary_blocks:
+                if bdr_marker is None:
+                    sel = np.ones(len(faces), dtype=bool)
+                else:
+                    sel = np.isin(attrs, np.asarray(list(bdr_marker)))
+                bverts.update(int(v) for v in faces[sel].reshape(-1))
+            keys = self._keys_flat
+            etype = keys[:, 4] >> 48
+            ess = {int(self._ids[i]) for i in range(len(keys))
+                   if int(etype[i]) == _VERT and int(keys[i, 0]) in bverts}
+            return np.array(sorted(ess), dtype=np.int32)
         if bdr_marker is None:
             sel = np.ones(mesh.nbe, dtype=bool)
         else:
@@ -253,3 +273,114 @@ def mixed_domain_lf(fes: MixedFESpace, f) -> jnp.ndarray:
         fq = jnp.asarray(f(np.asarray(gf.x)), real_t(None))
         b = b + R.mult_transpose(eval_values_t(db, gf.wdet * fq))
     return b
+
+
+# ----------------------------------------------------------------------------
+# 3D mixed mesh: hex region + tet region glued by pyramids
+# ----------------------------------------------------------------------------
+
+
+def make_mixed_cube(n: int = 2) -> MixedMesh:
+    """Unit cube, 2n×n×n cells: left half hexes, right half tet/pyramid.
+
+    Each right cell is split from its center: interface faces (adjacent to
+    a hex) become pyramids, every other face is diagonal-split (min-vertex
+    rule, so face views agree across cells) into two tets — the standard
+    hex↔tet glue layer (reference: pyramids as transition elements,
+    mesh/pyramid.hpp).  Boundary faces: quads on the hex side, triangles
+    on the tet side (``boundary_blocks``)."""
+    from ..fem.geometry import FACES
+    from ..mesh.mesh import make_cartesian_3d
+
+    h = make_cartesian_3d(2 * n, n, n)
+    cent = h.vertices[h.elements].mean(axis=1)
+    left = cent[:, 0] < 0.5
+    verts = [v for v in h.vertices]
+
+    hexes = h.elements[left]
+    hattr = h.attributes[left]
+    loc_faces = FACES[Geometry.CUBE]
+
+    pyramids, pattr, tets, tattr = [], [], [], []
+    tri_bdr, tri_battr = [], []
+
+    # boundary face lookup (sorted quad key → attribute)
+    bdr_map = {tuple(sorted(map(int, f))): int(a)
+               for f, a in zip(h.boundary, h.bdr_attributes)}
+    hex_face_keys = set()
+    for t in hexes:
+        for f in loc_faces:
+            hex_face_keys.add(tuple(sorted(int(t[v]) for v in f)))
+
+    def add_center(cell):
+        verts.append(h.vertices[cell].mean(axis=0))
+        return len(verts) - 1
+
+    def tri_split(quad):
+        """Split a cyclic quad across the diagonal at its min-id vertex."""
+        r = int(np.argmin(quad))
+        q = [quad[(r + k) % 4] for k in range(4)]
+        return (q[0], q[1], q[2]), (q[0], q[2], q[3])
+
+    for t, a in zip(h.elements[~left], h.attributes[~left]):
+        c = add_center(t)
+        for f in loc_faces:
+            quad = [int(t[v]) for v in f]
+            key = tuple(sorted(quad))
+            if key in hex_face_keys:
+                # interface: pyramid on the quad base
+                b = list(quad)
+                v0, v1, v3 = (np.asarray(verts[b[0]]), np.asarray(verts[b[1]]),
+                              np.asarray(verts[b[3]]))
+                nrm = np.cross(v1 - v0, v3 - v0)
+                if np.dot(nrm, np.asarray(verts[c]) - v0) < 0:
+                    b = [b[0], b[3], b[2], b[1]]
+                pyramids.append(b + [c])
+                pattr.append(a)
+                continue
+            battr = bdr_map.get(key)
+            for tri in tri_split(quad):
+                p0, p1, p2 = (np.asarray(verts[tri[0]]),
+                              np.asarray(verts[tri[1]]),
+                              np.asarray(verts[tri[2]]))
+                tet = list(tri) + [c]
+                if np.dot(np.cross(p1 - p0, p2 - p0),
+                          np.asarray(verts[c]) - p0) < 0:
+                    tet = [tri[0], tri[2], tri[1], c]
+                tets.append(tet)
+                tattr.append(a)
+                if battr is not None:
+                    tri_bdr.append(list(tri))
+                    tri_battr.append(battr)
+
+    # hex-side boundary quads (faces of kept hexes that are boundary)
+    quad_bdr, quad_battr = [], []
+    for f, a in zip(h.boundary, h.bdr_attributes):
+        key = tuple(sorted(map(int, f)))
+        if key in hex_face_keys:
+            quad_bdr.append([int(v) for v in f])
+            quad_battr.append(int(a))
+
+    blocks = [(Geometry.CUBE, np.asarray(hexes, dtype=np.int64), hattr)]
+    if pyramids:
+        blocks.append((Geometry.PYRAMID,
+                       np.array(pyramids, dtype=np.int64),
+                       np.array(pattr, dtype=np.int64)))
+    blocks.append((Geometry.TETRAHEDRON, np.array(tets, dtype=np.int64),
+                   np.array(tattr, dtype=np.int64)))
+    bblocks = []
+    if quad_bdr:
+        bblocks.append((Geometry.SQUARE,
+                        np.array(quad_bdr, dtype=np.int64),
+                        np.array(quad_battr, dtype=np.int64)))
+    if tri_bdr:
+        bblocks.append((Geometry.TRIANGLE,
+                        np.array(tri_bdr, dtype=np.int64),
+                        np.array(tri_battr, dtype=np.int64)))
+    return MixedMesh(
+        vertices=np.array(verts),
+        blocks=tuple(blocks),
+        boundary=np.zeros((0, 2), dtype=np.int64),
+        bdr_attributes=np.zeros(0, dtype=np.int64),
+        boundary_blocks=tuple(bblocks),
+    )

@@ -1,0 +1,79 @@
+"""3D mixed-geometry meshes: hex region + pyramid glue + tet region
+(transition-element meshing, mesh/pyramid.hpp; SURVEY §7 hard-part 5 3D)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cardiac_ablation_ecm2_tpu.fem.geometry import Geometry
+from cardiac_ablation_ecm2_tpu.fem.mixed import (
+    MixedFESpace,
+    MixedPAOperator,
+    make_mixed_cube,
+    mixed_domain_lf,
+)
+from cardiac_ablation_ecm2_tpu.linalg.solvers import cg
+
+
+def test_mesh_integrity():
+    mm = make_mixed_cube(2)
+    geoms = [g for g, _, _ in mm.blocks]
+    assert Geometry.CUBE in geoms and Geometry.PYRAMID in geoms \
+        and Geometry.TETRAHEDRON in geoms
+    fes = MixedFESpace(mm, 1)
+    vol = sum(float(jnp.sum(gf.wdet)) for gf in fes.gfs)
+    assert np.isclose(vol, 1.0, atol=1e-10)
+    # all element volumes positive (orientation correct in every block)
+    for gf in fes.gfs:
+        assert float(jnp.min(gf.det)) > 0
+
+
+def test_conforming_linear_exactness():
+    mm = make_mixed_cube(2)
+    fes = MixedFESpace(mm, 1)
+    A = MixedPAOperator(fes, diffusion_coeff=1.0)
+    X = fes.dof_coords
+    u = jnp.asarray(1.0 + 2 * X[:, 0] - X[:, 1] + 0.5 * X[:, 2])
+    r = np.asarray(A.mult(u))
+    ess = fes.essential_dofs()
+    mask = np.ones(fes.ndof, bool)
+    mask[ess] = False
+    assert np.abs(r[mask]).max() < 1e-10
+    # symmetry across the hex/pyramid/tet blocks
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal(fes.ndof))
+    b = jnp.asarray(rng.standard_normal(fes.ndof))
+    assert np.isclose(float(a @ A.mult(b)), float(b @ A.mult(a)),
+                      rtol=1e-12)
+
+
+def _solve(n):
+    exact = lambda x: np.prod(np.sin(np.pi * np.asarray(x)), axis=-1)
+    mm = make_mixed_cube(n)
+    fes = MixedFESpace(mm, 1)
+    A = MixedPAOperator(fes, diffusion_coeff=1.0)
+    b = mixed_domain_lf(
+        fes, lambda x: 3 * np.pi ** 2 * np.prod(np.sin(np.pi * x),
+                                                axis=-1))
+    ess = fes.essential_dofs()
+    m = jnp.ones(fes.ndof).at[jnp.asarray(ess)].set(0.0)
+    Ac = lambda v: A.mult(v * m) * m + v * (1 - m)
+    d = A.diagonal() * m + (1 - m)
+    u, info = cg(Ac, b * m, M=lambda r: r / d, rel_tol=1e-11,
+                 max_iter=4000)
+    assert bool(info.converged)
+    # L2 error by block quadrature
+    err2 = 0.0
+    for gf, db, R in zip(fes.gfs, fes.dbs, fes.restrictions):
+        from cardiac_ablation_ecm2_tpu.fem.quadinterp import eval_values
+
+        uq = eval_values(db, R.mult(u))
+        eq = jnp.asarray(exact(np.asarray(gf.x)))
+        err2 += float(jnp.sum(gf.wdet * (uq - eq) ** 2))
+    return np.sqrt(err2)
+
+
+def test_poisson_h_convergence():
+    e1, e2 = _solve(2), _solve(4)
+    rate = np.log2(e1 / e2)
+    assert rate > 1.7, (e1, e2, rate)   # O(h²) for P1/Q1
