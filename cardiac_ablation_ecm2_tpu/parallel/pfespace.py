@@ -65,7 +65,12 @@ class ParFESpace:
         return self.fes.ndof_scalar
 
 
-def build(fes: FESpace, ndev: int, parts: np.ndarray = None) -> ParFESpace:
+def build(fes: FESpace, ndev: int, parts: np.ndarray = None,
+          extra_dofs: List[np.ndarray] = None) -> ParFESpace:
+    """``extra_dofs`` (optional, per device): global dofs to include in the
+    device's local set beyond those of its elements — ghost dofs for NC
+    constraint masters (ParNCMesh's ghost layer analog).  They join the
+    halo-exchange tables like any shared dof."""
     mesh = fes.mesh
     gm = fes.gather_map.astype(np.int64)           # (ne, nd)
     ne, nd = gm.shape
@@ -87,6 +92,12 @@ def build(fes: FESpace, ndev: int, parts: np.ndarray = None) -> ParFESpace:
 
     # local dof sets (from real elements only), sorted by global id
     gdofs = [np.unique(gm[e].reshape(-1)) for e in dev_elems]
+    if extra_dofs is not None:
+        gdofs = [
+            np.unique(np.concatenate([g, np.asarray(x, dtype=np.int64)]))
+            if len(x) else g
+            for g, x in zip(gdofs, extra_dofs)
+        ]
     nloc = max(len(g) for g in gdofs)
 
     loc2glob = np.full((ndev, nloc), -1, dtype=np.int64)
