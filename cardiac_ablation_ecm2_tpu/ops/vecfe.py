@@ -127,6 +127,25 @@ def _geom(mesh, nq1d, dtype):
     return compute_geometric_factors(X, d2q, dtype=dtype)
 
 
+
+
+def _mass_qd(gf, coeff, rt):
+    """Mass qdata for a scalar, field, or (dim×dim) matrix coefficient
+    (ex31-class anisotropic VectorFEMassIntegrator, fem/bilininteg.hpp:2704:
+    matrix coefficients produce (ne, nq, d, d) qdata; the apply/diagonal
+    paths contract them with the physical basis channels)."""
+    w = gf.wdet
+    if callable(coeff):
+        C = jnp.asarray(coeff(gf.x), rt)
+        if C.ndim == 4:
+            return w[..., None, None] * C
+        return w * C
+    C = np.asarray(coeff)
+    if C.ndim == 2:
+        return w[..., None, None] * jnp.asarray(C, rt)[None, None]
+    return float(coeff) * w
+
+
 def build_nd_operator(
     space: NDSpace,
     mass_coeff: Optional[float] = 1.0,
@@ -156,7 +175,7 @@ def build_nd_operator(
         Bphys = jnp.einsum(
             "eqab,qna->eqnb", A / det[..., None, None], jnp.asarray(Bref, rt)
         )
-        qd = (mass_coeff * gf.wdet)
+        qd = _mass_qd(gf, mass_coeff, rt)
         terms.append(("mass", qd, Bphys))
     if curlcurl_coeff is not None:
         if mesh.dim == 3:
@@ -223,7 +242,7 @@ def build_rt_operator(
         Bphys = jnp.einsum(
             "eqab,qnb->eqna", J / det[..., None, None], jnp.asarray(Bref, rt)
         )
-        qd = mass_coeff * gf.wdet
+        qd = _mass_qd(gf, mass_coeff, rt)
         terms.append(("mass", qd, Bphys))
     if divdiv_coeff is not None:
         Dphys = (jnp.asarray(Dref, rt)[None] / det[..., None])[..., None]

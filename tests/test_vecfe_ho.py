@@ -218,3 +218,40 @@ def test_nd_2d_constant():
     e = x[op.gather] * op.signs
     vals = np.asarray(jnp.einsum("eqnc,en->eqc", Bq, e))
     assert np.abs(vals - c).max() < 1e-8
+
+
+def test_matrix_coefficient_mass():
+    """ex31-class anisotropic (σE, F): constant-field energy = cᵀσc·vol and
+    FULL-assembly cross-check (VectorFEMassIntegrator w/ MatrixCoefficient,
+    fem/bilininteg.hpp:2704)."""
+    from cardiac_ablation_ecm2_tpu.linalg.solvers import cg
+    from cardiac_ablation_ecm2_tpu.ops.vecfe import vecfe_linear_form
+
+    sig = np.array([[2.0, 0.3, 0.0], [0.3, 1.0, 0.1], [0.0, 0.1, 3.0]])
+    mesh = make_cartesian_3d(2, 2, 2)
+    sp = NDSpaceHO(mesh, 2)
+    A = build_nd_operator(sp, mass_coeff=sig, curlcurl_coeff=1.0, nq1d=4)
+    c = np.array([1.0, -0.5, 0.7])
+    M1 = build_nd_operator(sp, mass_coeff=1.0, nq1d=4)
+    b = vecfe_linear_form(M1, lambda x: np.broadcast_to(sig @ c, x.shape))
+    u, info = cg(A.mult, b, M=lambda r: r / A.diagonal(),
+                 rel_tol=1e-13, max_iter=4000)
+    assert bool(info.converged)
+    exact = float(c @ sig @ c)
+    assert np.isclose(float(u @ b), exact, rtol=1e-8)
+    Am = A.assemble_matrix()
+    x = np.random.default_rng(0).standard_normal(A.ndof)
+    assert np.allclose(Am @ x, np.asarray(A.mult(jnp.asarray(x))),
+                       atol=1e-11)
+    # spatially varying matrix coefficient path
+    def sigf(x):
+        s = 1.0 + x[..., 0]
+        out = np.zeros(x.shape[:-1] + (3, 3))
+        for i in range(3):
+            out[..., i, i] = s
+        return out
+
+    Av = build_nd_operator(sp, mass_coeff=sigf, nq1d=4)
+    Avm = Av.assemble_matrix()
+    assert np.allclose(Avm @ x, np.asarray(Av.mult(jnp.asarray(x))),
+                       atol=1e-11)
