@@ -207,3 +207,25 @@ def boundary_normal_lf(
         q = q * jnp.asarray(sel.astype(float), rt)[:, None]
     b_e = eval_values_t(db, q)
     return bdr_restriction_for(fes).mult_transpose(b_e)
+
+
+def delta_lf(fes, points, strengths=None, dtype=None) -> jnp.ndarray:
+    """Point (Dirac delta) sources: b_i = Σ_k s_k φ_i(x_k)
+    (DeltaCoefficient / VectorDeltaCoefficient RHS, fem/coefficient.hpp:483,
+    as used by ex34's delta loads).  Points outside the mesh contribute
+    nothing."""
+    from ..fem.faces import _eval_volume_basis
+    from ..mesh.point_eval import locate_points
+    from ..utils.config import real_t
+
+    pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
+    s = (np.ones(len(pts)) if strengths is None
+         else np.broadcast_to(np.asarray(strengths, np.float64), (len(pts),)))
+    elem, ref = locate_points(fes.mesh, pts)
+    b = np.zeros(fes.ndof_scalar)
+    found = elem >= 0
+    if found.any():
+        B = _eval_volume_basis(fes.mesh.geom, fes.order, ref[found])
+        np.add.at(b, fes.gather_map[elem[found]].reshape(-1),
+                  (B * s[found, None]).reshape(-1))
+    return jnp.asarray(b, real_t(dtype))

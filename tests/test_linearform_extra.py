@@ -65,3 +65,18 @@ def test_boundary_normal_lf_marker_2d():
     b4 = np.asarray(boundary_normal_lf(fes, np.array([1.0, 0.0]),
                                        bdr_marker=(4,)))
     assert np.isclose(b4.sum(), -1.0, atol=1e-10), b4.sum()
+
+
+def test_delta_lf_pairing():
+    """b·u = Σ s_k u(x_k) exactly for in-space u (ex34 delta loads)."""
+    from cardiac_ablation_ecm2_tpu.mesh.point_eval import evaluate_at_points
+    from cardiac_ablation_ecm2_tpu.ops.linearform import delta_lf
+
+    fes = FESpace(make_cartesian_2d(4, 4), 3)
+    pts = [[0.33, 0.61], [0.9, 0.1], [5.0, 5.0]]   # last one outside
+    b = delta_lf(fes, pts, [2.5, -1.0, 7.0])
+    u = project(fes, lambda x: np.asarray(x)[..., 0] ** 3
+                - 2 * np.asarray(x)[..., 1])
+    vals = evaluate_at_points(fes, np.asarray(u), pts)
+    expect = 2.5 * vals[0] - 1.0 * vals[1]          # outside point ignored
+    assert abs(float(b @ u) - expect) < 1e-12
