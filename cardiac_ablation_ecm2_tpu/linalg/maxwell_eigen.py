@@ -94,6 +94,8 @@ def maxwell_eigenvalues(
     def Mmult(v):
         return M.mult(v * m_nd) * m_nd
 
+    import jax
+
     def Msolve(b):
         x, _ = cg(lambda v: Mmult(v) + (1 - m_nd) * v, b,
                   M=lambda r: r / dM, rel_tol=inner_tol, max_iter=2000)
@@ -107,8 +109,10 @@ def maxwell_eigenvalues(
                   rel_tol=inner_tol, max_iter=2000)
         return x * m_h1
 
+    @jax.jit
     def project(x):
-        """x ← x − M⁻¹ Gₘ A₁⁻¹ Gₘᵀ x  (then mask PEC dofs)."""
+        """x ← x − M⁻¹ Gₘ A₁⁻¹ Gₘᵀ x  (then mask PEC dofs); one jitted
+        computation — the nested CG loops dominate the eigensolver cost."""
         x = x * m_nd
         y = A1solve(Gm.mult_t(x))
         return (x - Msolve(Gm.mult(y) * m_nd)) * m_nd
