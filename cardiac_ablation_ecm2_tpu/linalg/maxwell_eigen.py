@@ -51,12 +51,16 @@ def maxwell_eigenvalues(
     inner_tol: float = 1e-10,
     seed: int = 0,
     dtype=None,
+    sigma=None,
 ) -> MaxwellEigResult:
     """Smallest k nonzero Maxwell eigenvalues on an ND space.
 
     ``h1_fes`` — scalar H1 space of the same order on the same mesh (the
     gradient-space of the projector).  ``ess_bdr="all"`` imposes PEC
-    (n × E = 0) on every boundary attribute."""
+    (n × E = 0) on every boundary attribute.  ``sigma`` — optional (d×d)
+    permittivity matrix for the anisotropic pencil
+    (curl E, curl F) = λ (σE, F) — the ex32p problem; the projector's
+    gradient pairing and H1 operator are σ-weighted accordingly."""
     rt = real_t(dtype)
     mesh = nd_space.mesh
     if nq1d is None:
@@ -64,11 +68,21 @@ def maxwell_eigenvalues(
 
     A = build_nd_operator(nd_space, mass_coeff=None, curlcurl_coeff=1.0,
                           nq1d=nq1d, dtype=dtype)
-    M = build_nd_operator(nd_space, mass_coeff=1.0, curlcurl_coeff=None,
-                          nq1d=nq1d, dtype=dtype)
-    Gm = mixed_vector_gradient(h1_fes, nd_space, nq1d=nq1d, dtype=dtype)
+    M = build_nd_operator(nd_space,
+                          mass_coeff=(1.0 if sigma is None else sigma),
+                          curlcurl_coeff=None, nq1d=nq1d, dtype=dtype)
+    Gm = mixed_vector_gradient(h1_fes, nd_space, nq1d=nq1d, dtype=dtype,
+                               matrix_coeff=sigma)
+    sig_cb = None
+    if sigma is not None:
+        sig_np = np.asarray(sigma, dtype=np.float64)
+
+        def sig_cb(x):
+            return np.broadcast_to(sig_np, x.shape[:-1] + sig_np.shape)
+
     A1 = BilinearForm(h1_fes, nq1d=nq1d) \
-        .add_domain_integrator("diffusion").assemble(dtype=dtype)
+        .add_domain_integrator("diffusion", coeff=sig_cb) \
+        .assemble(dtype=dtype)
 
     if ess_bdr == "all":
         ess_bdr = sorted(set(mesh.bdr_attributes.tolist())) if mesh.nbe \

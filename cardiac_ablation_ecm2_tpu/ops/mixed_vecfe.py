@@ -184,12 +184,22 @@ def _make(trial, test, Bt, Bs, gf, coeff, rt):
         ndof_trial=nt, ndof_test=ns)
 
 
-def mixed_vector_gradient(h1_fes, nd_space, coeff=1.0, nq1d=3, dtype=None):
-    """(∇u, v): H1 trial → ND test (MixedVectorGradientIntegrator,
-    fem/bilininteg.hpp:1787)."""
+def mixed_vector_gradient(h1_fes, nd_space, coeff=1.0, nq1d=3, dtype=None,
+                          matrix_coeff=None):
+    """(σ∇u, v): H1 trial → ND test (MixedVectorGradientIntegrator,
+    fem/bilininteg.hpp:1787).  ``matrix_coeff`` — optional (d×d) matrix σ
+    (constant array or callable of x) applied to the trial gradient."""
     rt = real_t(dtype)
     gf, Bnd, _ = _vec_tables(nd_space, nq1d, dtype)
     Gh1 = _scalar_grad(h1_fes, gf, nq1d, rt)
+    if matrix_coeff is not None:
+        if callable(matrix_coeff):
+            sig = jnp.asarray(matrix_coeff(gf.x), rt)
+        else:
+            sig = jnp.broadcast_to(
+                jnp.asarray(matrix_coeff, rt),
+                gf.det.shape + np.asarray(matrix_coeff).shape)
+        Gh1 = jnp.einsum("eqcd,eqnd->eqnc", sig, Gh1)
     return _make(h1_fes, nd_space, Gh1, Bnd, gf, coeff, rt)
 
 

@@ -41,3 +41,28 @@ def test_3d_cavity_lowest_mode():
     assert np.allclose(lam, 2 * PI2, rtol=0.12), lam
     # multiplicity 3: the three values agree with each other tightly
     assert lam.max() - lam.min() < 0.02 * lam.mean(), lam
+
+
+def test_anisotropic_pencil_matches_dense():
+    """ex32p: (curl E, curl F) = λ(σE, F) with full matrix σ — the σ-
+    weighted projector removes gradients and the spectrum matches a dense
+    generalized eigensolve on the PEC-restricted pencil."""
+    from scipy.linalg import eigh
+
+    from cardiac_ablation_ecm2_tpu.ops.vecfe import build_nd_operator
+
+    sig = np.array([[2.0, 0.4], [0.4, 1.0]])
+    mesh = make_cartesian_2d(4, 4)
+    nd = NDSpaceHO(mesh, 2)
+    h1 = FESpace(mesh, 2)
+    res = maxwell_eigenvalues(nd, h1, k=3, iters=80, sigma=sig)
+    A = build_nd_operator(nd, curlcurl_coeff=1.0, mass_coeff=None,
+                          nq1d=4).assemble_matrix().toarray()
+    M = build_nd_operator(nd, mass_coeff=sig, curlcurl_coeff=None,
+                          nq1d=4).assemble_matrix().toarray()
+    ess = nd.essential_dofs(sorted(set(mesh.bdr_attributes.tolist())))
+    keep = np.setdiff1d(np.arange(nd.ndof), ess)
+    lam = eigh(A[np.ix_(keep, keep)], M[np.ix_(keep, keep)],
+               eigvals_only=True)
+    lam_nz = lam[lam > 1e-8][:3]
+    assert np.allclose(res.eigenvalues, lam_nz, rtol=1e-4)
