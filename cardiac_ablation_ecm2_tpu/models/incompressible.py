@@ -13,7 +13,7 @@ saddle operator, solved with GMRES (indefinite)."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ DofTransformations) rides the same pre/post closures as the square
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 import numpy as np
