@@ -23,6 +23,15 @@ import numpy as np
 
 
 def main():
+    # make the CPU backend available alongside the tunneled TPU: operator
+    # setup runs there so the step-jit's embedded constants fetch from host
+    # memory — immune to tunnel device->host outages (observed 2026-08-17:
+    # d2h hung while compute/h2d stayed healthy, stalling compiles inside
+    # _array_mlir_constant_handler)
+    if "JAX_PLATFORMS" in os.environ and \
+            "cpu" not in os.environ["JAX_PLATFORMS"]:
+        os.environ["JAX_PLATFORMS"] += ",cpu"
+
     n = int(os.environ.get("BENCH_N", "48"))
     order = int(os.environ.get("BENCH_ORDER", "2"))
     steps = int(os.environ.get("BENCH_STEPS", "5"))
@@ -69,14 +78,28 @@ def main():
         r2 = sum((x[..., i] - L / 2) ** 2 for i in range(3))
         return 1e6 * jnp.exp(-r2 / (L / 8) ** 2)
 
-    op = bioheat.BioheatOperator(
-        fes=fes, rho_c=3.6e6, k=0.54, w_cb=2e4, T_a=37.0, q_met=src,
-        ess_bdr=[1, 2, 3, 4, 5, 6], rel_tol=tol, max_iter=300,
-        dtype=dtype, fused_setup=True, theta_form=True,
-        collapse_uniform_qdata=(
-            not unstructured
-            and os.environ.get("BENCH_NO_COLLAPSE", "0") != "1"),
-    )
+    # BENCH_HOST_SETUP=1: build the operator on the CPU backend so the
+    # step-jit's embedded constants need no TPU device->host fetch (a
+    # mitigation for tunnel d2h outages).  Off by default: when d2h is
+    # down, completion signals are also unreliable, so prefer a visible
+    # timeout over a silently wrong measurement.
+    import contextlib
+
+    setup_ctx = contextlib.nullcontext()
+    if os.environ.get("BENCH_HOST_SETUP", "0") == "1":
+        try:
+            setup_ctx = jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            pass
+    with setup_ctx:
+        op = bioheat.BioheatOperator(
+            fes=fes, rho_c=3.6e6, k=0.54, w_cb=2e4, T_a=37.0, q_met=src,
+            ess_bdr=[1, 2, 3, 4, 5, 6], rel_tol=tol, max_iter=300,
+            dtype=dtype, fused_setup=True, theta_form=True,
+            collapse_uniform_qdata=(
+                not unstructured
+                and os.environ.get("BENCH_NO_COLLAPSE", "0") != "1"),
+        )
     solver = ode.select("sdirk33")
 
     @jax.jit
@@ -100,6 +123,15 @@ def main():
     per_step = wall / steps
     dofs_per_s = fes.ndof / per_step
 
+    # completion-signal self-check: timing must scale ~linearly in the
+    # step count (a broken ready-event returns immediately and would not)
+    t0 = time.perf_counter()
+    for _ in range(2 * steps):
+        Tc, tc = step(Tc, tc, dt)
+    jax.block_until_ready(Tc)
+    wall2 = time.perf_counter() - t0
+    scale_ok = 1.2 < wall2 / max(wall, 1e-12) < 3.3
+
     baseline = None
     try:
         with open(os.path.join(os.path.dirname(__file__), "bench_baseline.json")) as f:
@@ -117,11 +149,15 @@ def main():
         pass
     vs = (baseline / per_step) if baseline else 0.0
 
+    # plausibility guard: < 2 ms/step at ~1M dofs exceeds the HBM roofline
+    # several-fold — flags broken completion signals (e.g. tunnel outages)
+    suspect = (per_step < 2e-3 and fes.ndof > 5e5) or not scale_ok
     print(json.dumps({
         "metric": "bioheat_implicit_timestep_dofs_per_s_per_chip",
         "value": dofs_per_s,
         "unit": "DOF/s",
-        "vs_baseline": vs,
+        "vs_baseline": 0.0 if suspect else vs,
+        "suspect_timing": suspect,
         "extra": {
             "seconds_per_step": per_step,
             "ndof": fes.ndof,
