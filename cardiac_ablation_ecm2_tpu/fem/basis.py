@@ -269,7 +269,12 @@ def make_dof_to_quad(
         )
     if geom == Geometry.PYRAMID:
         pts, wts = pyramid_rule(nq1d)
-        B, G = pyramid_basis_matrices(p, pts)
+        if p == 2:
+            from .pyramid2 import pyramid_p2_basis_matrices
+
+            B, G = pyramid_p2_basis_matrices(pts)
+        else:
+            B, G = pyramid_basis_matrices(p, pts)
         return DofToQuad(
             geom=geom, order=p, tensor=False, points=pts, weights=wts, B=B, G=G
         )

@@ -86,6 +86,8 @@ def _elem_node_keys(geom: Geometry, p: int, elem_verts: np.ndarray,
     elem_verts: (ne, nv_el) global vertex ids; elem_ids: (ne,) global element
     ids used for interior-node keys.  Returns (ne, nd, 8) int64.
     """
+    if geom == Geometry.PYRAMID and p == 2:
+        return _pyramid_p2_keys(elem_verts)
     dim = DIMENSION[geom]
     nd = len(lattice_multi_index(geom, p))
     ne = elem_verts.shape[0]
@@ -179,6 +181,29 @@ def _elem_node_keys(geom: Geometry, p: int, elem_verts: np.ndarray,
         mi3 = list(mi[n]) + [0] * (3 - dim)
         keys[:, n, 4] = _meta(_CELL, *mi3)
 
+    return keys
+
+
+def _pyramid_p2_keys(elem_verts: np.ndarray) -> np.ndarray:
+    """Entity keys for the 14-node order-2 pyramid (fem/pyramid2.py node
+    order: 5 vertices, 8 edge midpoints, base-face center) — identical key
+    conventions to the generic tensor/simplex path, so mixed meshes share
+    dofs across hex/tet/pyramid blocks."""
+    ne = elem_verts.shape[0]
+    keys = np.empty((ne, 14, _KEYLEN), dtype=np.int64)
+    keys[..., :4] = -1
+    for lv in range(5):
+        keys[:, lv, 0] = elem_verts[:, lv]
+        keys[:, lv, 4] = _meta(_VERT)
+    for k, (la, lb) in enumerate(EDGES[Geometry.PYRAMID]):
+        ga, gb = elem_verts[:, la], elem_verts[:, lb]
+        keys[:, 5 + k, 0] = np.minimum(ga, gb)
+        keys[:, 5 + k, 1] = np.maximum(ga, gb)
+        keys[:, 5 + k, 4] = _meta(_EDGE, 1)   # p=2 midpoint: frame-free
+    base = FACES[Geometry.PYRAMID][0]
+    gf = elem_verts[:, list(base)]
+    keys[:, 13, 0:4] = np.sort(gf, axis=1)
+    keys[:, 13, 4] = _meta(_FACE, 1, 1)       # quad center: frame-free
     return keys
 
 
@@ -350,6 +375,13 @@ def element_node_coords(mesh: Mesh, p: int) -> np.ndarray:
         B = _eval_volume_basis(geom, q, ref)          # (nd_p, nd_q)
         return np.einsum("pn,ens->eps", B, mesh.nodes)
     geom = mesh.geom
+    if geom == Geometry.PYRAMID and p == 2:
+        from .basis import pyramid_basis_matrices
+        from .pyramid2 import PYRAMID_P2_NODES, _nudge_apex
+
+        B = pyramid_basis_matrices(1, _nudge_apex(PYRAMID_P2_NODES))[0]
+        V = mesh.vertices[mesh.elements]
+        return np.matmul(B[None, :, :], V)
     ref = h1_nodes(geom, p)                       # (nd, dim)
     # Q1/P1 shape functions evaluated at the lattice points
     if geom in (Geometry.TRIANGLE, Geometry.TETRAHEDRON):

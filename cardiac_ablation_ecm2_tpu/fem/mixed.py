@@ -29,7 +29,7 @@ import numpy as np
 from ..mesh.mesh import Mesh
 from ..utils.config import real_t
 from .basis import make_dof_to_quad
-from .fespace import _EDGE, _KEYLEN, _VERT, _elem_node_keys
+from .fespace import _EDGE, _FACE, _KEYLEN, _VERT, _elem_node_keys
 from .geometry import DIMENSION, Geometry, NUM_VERTS
 from .geom_factors import compute_geometric_factors
 from .quadinterp import device_basis, eval_values_t
@@ -159,21 +159,35 @@ class MixedFESpace:
     def essential_dofs(self, bdr_marker=None) -> np.ndarray:
         mesh = self.mesh
         if mesh.boundary_blocks:                   # 3D mixed boundary
-            if self.order > 1:
-                raise NotImplementedError(
-                    "3D mixed essential dofs: order 1 (vertex dofs) — "
-                    "higher orders need per-shape face dof enumeration")
-            bverts = set()
+            bverts, bedges, bfaces = set(), set(), set()
             for (geom, faces, attrs) in mesh.boundary_blocks:
                 if bdr_marker is None:
                     sel = np.ones(len(faces), dtype=bool)
                 else:
                     sel = np.isin(attrs, np.asarray(list(bdr_marker)))
-                bverts.update(int(v) for v in faces[sel].reshape(-1))
+                for f in faces[sel]:
+                    vs = [int(v) for v in f]
+                    bverts.update(vs)
+                    k = len(vs)
+                    for i in range(k):
+                        a, b = vs[i], vs[(i + 1) % k]
+                        bedges.add((min(a, b), max(a, b)))
+                    bfaces.add(tuple(sorted(vs)))
             keys = self._keys_flat
             etype = keys[:, 4] >> 48
-            ess = {int(self._ids[i]) for i in range(len(keys))
-                   if int(etype[i]) == _VERT and int(keys[i, 0]) in bverts}
+            ess = set()
+            for i in range(len(keys)):
+                t = int(etype[i])
+                if t == _VERT and int(keys[i, 0]) in bverts:
+                    ess.add(int(self._ids[i]))
+                elif t == _EDGE and (int(keys[i, 0]),
+                                     int(keys[i, 1])) in bedges:
+                    ess.add(int(self._ids[i]))
+                elif t == _FACE:
+                    fk = tuple(sorted(int(v) for v in keys[i, :4]
+                               if v >= 0))
+                    if fk in bfaces:
+                        ess.add(int(self._ids[i]))
             return np.array(sorted(ess), dtype=np.int32)
         if bdr_marker is None:
             sel = np.ones(mesh.nbe, dtype=bool)

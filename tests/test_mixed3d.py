@@ -77,3 +77,45 @@ def test_poisson_h_convergence():
     e1, e2 = _solve(2), _solve(4)
     rate = np.log2(e1 / e2)
     assert rate > 1.7, (e1, e2, rate)   # O(h²) for P1/Q1
+
+
+def test_order2_conformity_and_quadratic_energy():
+    """Order-2 mixed cube: the 14-node pyramid's Q2 base / P2 tri traces
+    conform exactly against hex Q2 and tet P2 neighbors."""
+    mm = make_mixed_cube(2)
+    fes = MixedFESpace(mm, 2)
+    A = MixedPAOperator(fes, diffusion_coeff=1.0)
+    X = fes.dof_coords
+    lin = jnp.asarray(1.0 + 2 * X[:, 0] - X[:, 1] + 0.5 * X[:, 2])
+    r = np.asarray(A.mult(lin))
+    ess = fes.essential_dofs()
+    mask = np.ones(fes.ndof, bool)
+    mask[ess] = False
+    assert np.abs(r[mask]).max() < 1e-10
+    u = jnp.asarray(X[:, 0] ** 2 + X[:, 1] ** 2 + X[:, 2] ** 2)
+    assert np.isclose(float(u @ A.mult(u)), 4.0, rtol=1e-12)
+
+
+def test_order2_poisson_convergence():
+    """O(h³)-ish nodal convergence on the order-2 mixed cube."""
+    exact = lambda x: np.prod(np.sin(np.pi * np.asarray(x)), axis=-1)
+
+    def solve(n):
+        mm = make_mixed_cube(n)
+        fes = MixedFESpace(mm, 2)
+        A = MixedPAOperator(fes, diffusion_coeff=1.0)
+        M = MixedPAOperator(fes, mass_coeff=1.0)
+        X = fes.dof_coords
+        u_ex = jnp.asarray(exact(X))
+        ess = fes.essential_dofs()
+        m = jnp.ones(fes.ndof).at[jnp.asarray(ess)].set(0.0)
+        b = 3 * np.pi ** 2 * M.mult(u_ex)
+        Ac = lambda v: A.mult(v * m) * m + v * (1 - m)
+        d = A.diagonal() * m + (1 - m)
+        u, info = cg(Ac, b * m, M=lambda r: r / d, rel_tol=1e-11,
+                     max_iter=5000)
+        assert bool(info.converged)
+        return float(jnp.abs(u - u_ex).max())
+
+    e1, e2 = solve(2), solve(4)
+    assert np.log2(e1 / e2) > 2.5, (e1, e2)
