@@ -119,3 +119,38 @@ def test_order2_poisson_convergence():
 
     e1, e2 = solve(2), solve(4)
     assert np.log2(e1 / e2) > 2.5, (e1, e2)
+
+
+def test_order2_hex_wedge_conformity():
+    """Hex + wedge order-2 blocks conform through the generic entity keys
+    (wedge quad-face traces are GLL⊗GLL, matching hex Q2 faces)."""
+    from cardiac_ablation_ecm2_tpu.fem.mixed import MixedMesh
+    from cardiac_ablation_ecm2_tpu.mesh.mesh import make_cartesian_3d
+
+    h = make_cartesian_3d(2, 2, 2)
+    cent = h.vertices[h.elements].mean(axis=1)
+    left = cent[:, 0] < 0.5
+    hexes = h.elements[left]
+    wedges = []
+    for t in h.elements[~left]:
+        wedges.append([t[0], t[1], t[2], t[4], t[5], t[6]])
+        wedges.append([t[0], t[2], t[3], t[4], t[6], t[7]])
+    mm = MixedMesh(
+        vertices=h.vertices,
+        blocks=((Geometry.CUBE, hexes, np.ones(len(hexes), np.int64)),
+                (Geometry.PRISM, np.array(wedges, dtype=np.int64),
+                 np.ones(len(wedges), np.int64))),
+        boundary=np.zeros((0, 2), np.int64),
+        bdr_attributes=np.zeros(0, np.int64),
+    )
+    fes = MixedFESpace(mm, 2)
+    vol = sum(float(jnp.sum(gf.wdet)) for gf in fes.gfs)
+    assert np.isclose(vol, 1.0, atol=1e-12)
+    A = MixedPAOperator(fes, diffusion_coeff=1.0)
+    X = fes.dof_coords
+    lin = jnp.asarray(1.0 + 2 * X[:, 0] - X[:, 1] + 0.5 * X[:, 2])
+    r = np.asarray(A.mult(lin))
+    on_surf = (np.abs(X) < 1e-12).any(1) | (np.abs(X - 1) < 1e-12).any(1)
+    assert np.abs(r[~on_surf]).max() < 1e-12
+    u = jnp.asarray(X[:, 0] ** 2 + X[:, 1] ** 2 + X[:, 2] ** 2)
+    assert np.isclose(float(u @ A.mult(u)), 4.0, rtol=1e-12)
