@@ -1,0 +1,115 @@
+"""Nonconforming (hanging-node) tet AMR (NCMesh-on-tets analog)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cardiac_ablation_ecm2_tpu.fem.build import (
+    basis_for,
+    geom_factors_for,
+    restriction_for,
+)
+from cardiac_ablation_ecm2_tpu.fem.ncfespace import NCFESpace
+from cardiac_ablation_ecm2_tpu.fem.quadinterp import eval_values
+from cardiac_ablation_ecm2_tpu.linalg.solvers import cg
+from cardiac_ablation_ecm2_tpu.mesh.mesh import make_cartesian_3d_tet
+from cardiac_ablation_ecm2_tpu.mesh.nctet import make_nc_tet, refine_tets_nc
+from cardiac_ablation_ecm2_tpu.ops import BilinearForm
+
+
+def _refined(rounds=1, seed_marks=None):
+    nc = make_nc_tet(make_cartesian_3d_tet(2, 2, 2))
+    for r in range(rounds):
+        cent = nc.mesh.vertices[nc.mesh.elements].mean(axis=1)
+        marks = (np.linalg.norm(cent, axis=1) < 0.6 / (r + 1)
+                 if seed_marks is None else seed_marks(cent))
+        nc, _ = refine_tets_nc(nc, marks)
+    return nc
+
+
+def test_refinement_integrity():
+    nc = _refined()
+    assert nc.n_hanging > 0
+    p = nc.mesh.vertices[nc.mesh.elements]
+    vols = np.linalg.det(p[:, 1:] - p[:, :1]) / 6
+    assert np.all(vols > 0)                      # orientation preserved
+    assert np.isclose(vols.sum(), 1.0, atol=1e-12)
+    for (v, a, b) in nc.constraints:
+        mid = 0.5 * (nc.mesh.vertices[a] + nc.mesh.vertices[b])
+        assert np.array_equal(mid, nc.mesh.vertices[v])
+
+
+def test_two_to_one_balance():
+    """Refining the same corner twice forces the neighbors (no edge may
+    carry both a midpoint and a quarter-point)."""
+    from cardiac_ablation_ecm2_tpu.mesh.nctet import _overrefined_edges
+
+    nc = _refined(rounds=2)
+    assert not _overrefined_edges(nc.mesh)
+
+
+def test_conforming_projection_and_ptap():
+    import scipy.sparse as ssp
+
+    nc = _refined()
+    sp = NCFESpace(nc, 1)
+    assert sp.n_slaves == nc.n_hanging
+    f = lambda x: (1.0 + 2 * np.asarray(x)[..., 0]
+                   - np.asarray(x)[..., 1] + 0.5 * np.asarray(x)[..., 2])
+    uc = jnp.asarray(f(sp.dof_coords))
+    uL = sp.prolongate(uc)
+    fes = sp.fes
+    uq = eval_values(basis_for(fes), restriction_for(fes).mult(uL))
+    gf = geom_factors_for(fes)
+    assert np.abs(np.asarray(uq) - f(np.asarray(gf.x))).max() < 1e-12
+
+    a = BilinearForm(fes).add_domain_integrator("diffusion")
+    A_L = a.assemble()
+    A_full = a.assemble_matrix()
+    nL, nC = fes.ndof_scalar, sp.ndof_conf
+    rows, cols, vals = list(sp.L_of_conf), list(range(nC)), [1.0] * nC
+    sm = np.asarray(sp._slave_masters)
+    sw = np.asarray(sp._slave_w)
+    si = np.asarray(sp._slave_idx)
+    for i in range(len(si)):
+        for j in range(sm.shape[1]):
+            rows.append(int(si[i]))
+            cols.append(int(sm[i, j]))
+            vals.append(float(sw[i, j]))
+    P = ssp.coo_matrix((vals, (rows, cols)), shape=(nL, nC)).tocsr()
+    ref = (P.T @ A_full @ P).toarray()
+    AC = sp.constrained_operator(A_L.mult)
+    x = np.random.default_rng(0).standard_normal(nC)
+    assert np.abs(np.asarray(AC(jnp.asarray(x))) - ref @ x).max() < 1e-11
+
+
+def test_nc_tet_poisson_adaptive():
+    """Two NC refinement rounds reduce the Poisson error monotonically."""
+    def solve(nc):
+        sp = NCFESpace(nc, 1)
+        fes = sp.fes
+        A_L = BilinearForm(fes).add_domain_integrator(
+            "diffusion").assemble()
+        from cardiac_ablation_ecm2_tpu.ops.linearform import domain_lf
+
+        k2 = 3 * np.pi ** 2
+        f = lambda x: k2 * np.prod(np.sin(np.pi * np.asarray(x)), axis=-1)
+        exact = lambda x: np.prod(np.sin(np.pi * np.asarray(x)), axis=-1)
+        b = sp.restrict_t(domain_lf(fes, f))
+        ess = jnp.asarray(sp.essential_dofs())
+        m = jnp.ones(sp.ndof_conf).at[ess].set(0.0)
+        AC = lambda v: sp.restrict_t(
+            A_L.mult(sp.prolongate(v * m))) * m + v * (1 - m)
+        u, info = cg(AC, b * m, rel_tol=1e-10, max_iter=4000)
+        assert bool(info.converged)
+        from cardiac_ablation_ecm2_tpu.fem.gridfunction import l2_error
+
+        return float(l2_error(fes, sp.prolongate(u), exact))
+
+    nc = make_nc_tet(make_cartesian_3d_tet(2, 2, 2))
+    e0 = solve(nc)
+    cent = nc.mesh.vertices[nc.mesh.elements].mean(axis=1)
+    nc, _ = refine_tets_nc(
+        nc, np.abs(cent - 0.5).max(axis=1) < 0.3)
+    e1 = solve(nc)
+    assert e1 < e0, (e0, e1)
