@@ -85,3 +85,43 @@ def test_lobpcg_laplace_eigenvalues():
     pi2 = np.pi**2
     exact = np.array([2, 5, 5, 8]) * pi2
     assert np.allclose(lam, exact, rtol=2e-3), (lam / pi2, exact / pi2)
+
+
+def test_indefinite_helmholtz_gmres_minres():
+    """Indefinite Helmholtz (−Δ − k²) with k² between eigenvalues: CG is
+    inapplicable; GMRES and MINRES both reach the dense solution
+    (VERDICT r1 weak-8: solver behavior on indefinite systems)."""
+    from cardiac_ablation_ecm2_tpu.fem import FESpace
+    from cardiac_ablation_ecm2_tpu.linalg.solvers import gmres
+    from cardiac_ablation_ecm2_tpu.linalg.krylov_extra import minres
+    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_2d
+    from cardiac_ablation_ecm2_tpu.ops import BilinearForm
+
+    mesh = make_cartesian_2d(6, 6)
+    fes = FESpace(mesh, 1)
+    k2 = 3.0 * np.pi ** 2          # between λ₁=2π² and λ₂=5π²
+    a = BilinearForm(fes).add_domain_integrator("diffusion") \
+        .add_domain_integrator("mass", coeff=-k2)
+    A_pa = a.assemble()
+    Ad = a.assemble_matrix().toarray()
+    ess = fes.essential_dofs()
+    free = np.setdiff1d(np.arange(fes.ndof_scalar), ess)
+    m = jnp.ones(fes.ndof_scalar).at[jnp.asarray(ess)].set(0.0)
+    Am = lambda v: A_pa.mult(v * m) * m + v * (1 - m)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(fes.ndof_scalar)) * m
+
+    x_ref = np.zeros(fes.ndof_scalar)
+    x_ref[free] = np.linalg.solve(Ad[np.ix_(free, free)],
+                                  np.asarray(b)[free])
+    # the restricted operator is indefinite (eigenvalues straddle zero)
+    w = np.linalg.eigvalsh(Ad[np.ix_(free, free)])
+    assert w.min() < 0 < w.max()
+
+    xg, ig = gmres(Am, b, rel_tol=1e-10, max_iter=400, restart=60)
+    assert bool(ig.converged)
+    assert np.allclose(np.asarray(xg), x_ref, atol=1e-6)
+
+    xm, im = minres(Am, b, rel_tol=1e-10, max_iter=800)
+    assert bool(im.converged)
+    assert np.allclose(np.asarray(xm), x_ref, atol=1e-6)
