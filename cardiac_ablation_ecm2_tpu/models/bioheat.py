@@ -27,7 +27,7 @@ from ..fem.coefficient import eval_coeff
 from ..fem.fespace import FESpace
 from ..fem.quadinterp import eval_values_t
 from ..linalg.solvers import cg, default_dot
-from ..ops import diffusion, mass
+from ..ops import diffusion, lanemajor, mass
 from ..utils.config import index_t, real_t
 
 
@@ -90,9 +90,10 @@ class BioheatOperator:
     #: rel_tol ≥ 1e-6, ~0.3 ms/iteration cheaper on v5e), or "auto"
     #: (f32 iff rel_tol ≥ 1e-6).
     dot_mode: str = "auto"
-    #: lane-major (nd, ne) implicit apply (3D tensor bases): contractions
-    #: become (nq×nd)@(nd, ne) matmuls with elements on the 128-lane axis —
-    #: faster AND more accurate than the staged einsum chain (see
+    #: lane-major (nd, ne) implicit apply via the shared ops/lanemajor.py
+    #: path (tensor hex/quad AND simplex bases): contractions become
+    #: (nq×nd)@(nd, ne) matmuls with elements on the 128-lane axis — faster
+    #: AND more accurate than the staged einsum chain (see
     #: _implicit_lhs_apply).  Works with collapsed (broadcast) or full
     #: per-element qdata (pre-transposed once at setup).
     transposed_apply: bool = True
@@ -204,24 +205,17 @@ class BioheatOperator:
             self.Mw_qd = _collapse_uniform(self.Mw_qd, axis=0)
             self.K_qd = _collapse_uniform(self.K_qd, axis=1)
 
-        # transposed (lane-major) full-matrix apply — see
-        # _implicit_lhs_apply.  Collapsed qdata broadcasts a (nq, 1) slice;
-        # general per-element qdata is pre-transposed to (nq, ne) once at
-        # setup (same total bytes, lane-major stream).
-        self._T_mats = None
-        if (self.transposed_apply
-                and getattr(self.db, "B1", None) is not None
-                and self.db.dim == 3):
-            B1 = np.asarray(self.db.B1)
-            G1 = np.asarray(self.db.G1)
-            rt = B1.dtype
-            Bf = np.kron(B1, np.kron(B1, B1))
-            Gx = np.kron(B1, np.kron(B1, G1))
-            Gy = np.kron(B1, np.kron(G1, B1))
-            Gz = np.kron(G1, np.kron(B1, B1))
-            self._T_mats = tuple(jnp.asarray(a, rt)
-                                 for a in (Bf, Gx, Gy, Gz))
-            self._qkT = jnp.transpose(self.K_qd, (0, 2, 1))  # (6, nq, ne|1)
+        # transposed (lane-major) full-matrix apply via the shared
+        # ops/lanemajor.py path — see _implicit_lhs_apply.  Collapsed qdata
+        # broadcasts a (nq, 1) slice; general per-element qdata is
+        # pre-transposed to (nq, ne) once at setup (same total bytes,
+        # lane-major stream).  Covers tensor (hex/quad) AND simplex bases.
+        self._lane = None
+        if self.transposed_apply and lanemajor.supports(
+            self.db, self.K_qd, "diffusion"
+        ):
+            self._lane = lanemajor.lane_basis(self.db)
+            self._qkT = lanemajor.diffusion_qT(self.K_qd)    # (3|6, nq, ne|1)
             self._qmT = self.Mrc_qd.T                        # (nq, ne|1)
             self._qwT = self.Mw_qd.T
 
@@ -252,28 +246,19 @@ class BioheatOperator:
         M-apply + A-apply pair costs an extra gather/scatter per CG
         iteration).
 
-        Transposed fast path (when qdata is collapsed): with the E-vector
-        laid out (nd, ne), every contraction is a (nq×nd)@(nd, ne) matmul —
-        the element axis rides the 128-lane dimension, so the MXU runs at
-        full occupancy instead of contracting over size-3 trailing dims.
+        Transposed fast path (ops/lanemajor.py): with the E-vector laid out
+        (nd, ne), every contraction is a (nq×nd)@(nd, ne) matmul — the
+        element axis rides the 128-lane dimension, so the MXU runs at full
+        occupancy instead of contracting over size-3 trailing dims.
         Measured on v5e at 912k dofs: 1.38 → 0.84 ms/apply AND 10× lower
         fp error vs the f64 reference (full-width HIGHEST matmuls beat the
         staged einsum chain's accumulation)."""
-        if self._T_mats is not None:
-            import jax
-
-            Bf, Gx, Gy, Gz = self._T_mats
-            q = self._qkT
-            P = jax.lax.Precision.HIGHEST
-            mm = lambda A, b: jnp.matmul(A, b, precision=P)  # noqa: E731
+        if self._lane is not None:
             eT = self.restr.mult(v).T                        # (nd, ne)
-            gx, gy, gz = mm(Gx, eT), mm(Gy, eT), mm(Gz, eT)
-            Dx = q[0] * gx + q[3] * gy + q[4] * gz
-            Dy = q[3] * gx + q[1] * gy + q[5] * gz
-            Dz = q[4] * gx + q[5] * gy + q[2] * gz
-            bu = mm(Bf, eT)
-            yT = gamma * (mm(Gx.T, Dx) + mm(Gy.T, Dy) + mm(Gz.T, Dz)) \
-                + mm(Bf.T, (self._qmT + gamma * self._qwT) * bu)
+            yT = lanemajor.mass_diffusion_apply(
+                self._lane, self._qmT + gamma * self._qwT, self._qkT,
+                eT, gamma,
+            )
             return self.restr.mult_transpose(yT.T)
         e = self.restr.mult(v)
         out = mass.apply(self.db, self.Mrc_qd + gamma * self.Mw_qd, e) \

@@ -41,7 +41,7 @@ from ..fem.geom_factors import compute_geometric_factors
 from ..fem.quadinterp import DeviceBasis, device_basis
 from ..fem.restriction import ElementRestriction
 from ..utils.config import real_t
-from . import convection, diffusion, elasticity, mass
+from . import convection, diffusion, elasticity, lanemajor, mass
 from .operators import LinearOperator
 
 _INTEGRATORS = {
@@ -77,13 +77,30 @@ class _BoundTerm:
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
+class _LaneGroup:
+    """Domain terms fused into one lane-major pass (see ops/lanemajor.py):
+    one L→E gather, all applies as (nq×nd)@(nd, ne) matmuls, one E→L
+    scatter.  ``terms`` hold setup-time-transposed qdata."""
+
+    lb: lanemajor.LaneBasis
+    restr: ElementRestriction
+    terms: Tuple[Tuple[str, jnp.ndarray], ...]
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
 class PAOperator:
     """Assembled partial-assembly operator:
-    y = Σ_terms Rᵀ_t apply_t(qdata_t, R_t x)."""
+    y = Σ_terms Rᵀ_t apply_t(qdata_t, R_t x).
+
+    ``terms`` always holds every integrator (diagonal assembly, FULL
+    cross-checks); ``lane`` + ``std_terms``, when set, partition them for
+    ``mult`` into the fused lane-major group and the per-term fallback."""
 
     terms: Tuple[_BoundTerm, ...]
     ndof: int
     vdim: int = 1
+    lane: Optional[_LaneGroup] = None
+    std_terms: Tuple[_BoundTerm, ...] = ()
 
     def mult(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.vdim > 1:
@@ -91,7 +108,12 @@ class PAOperator:
         else:
             xl = x
         out = None
-        for t in self.terms:
+        if self.lane is not None:
+            eT = self.lane.restr.mult(xl).T              # (nd, ne)
+            yT = lanemajor.apply_terms(self.lane.lb, self.lane.terms, eT)
+            out = self.lane.restr.mult_transpose(yT.T)
+        std = self.std_terms if self.lane is not None else self.terms
+        for t in std:
             e = t.restr.mult(xl)
             y = t.restr.mult_transpose(t.mod.apply(t.db, t.qdata, e))
             out = y if out is None else out + y
@@ -202,8 +224,10 @@ class BilinearForm:
                 else:
                     qd = mod.setup(gf, eval_coeff(t.coeff, gf, dtype))
             bound.append(_BoundTerm(mod=mod, qdata=qd, restr=restr, db=db))
+        lane, std = _build_lane_group(self._terms, bound, fes.vdim)
         return PAOperator(
-            terms=tuple(bound), ndof=fes.ndof_scalar, vdim=fes.vdim
+            terms=tuple(bound), ndof=fes.ndof_scalar, vdim=fes.vdim,
+            lane=lane, std_terms=std,
         )
 
     def _assemble_elasticity_matrix(self, dtype=None):
@@ -258,6 +282,42 @@ class BilinearForm:
         if fes.vdim > 1:
             A = sp.block_diag([A] * fes.vdim).tocsr()
         return A
+
+
+def _build_lane_group(terms, bound, vdim):
+    """Partition assembled terms into a fused lane-major group + fallbacks.
+
+    Eligible: scalar (vdim=1) domain mass/diffusion/convection terms sharing
+    one restriction and basis, with lane-supported qdata layouts, under the
+    ``config.lane_major`` knob ("auto" enables whenever supported)."""
+    from ..utils.config import config
+
+    if getattr(config, "lane_major", "auto") == "off" or vdim > 1:
+        return None, ()
+    lane_terms, std = [], []
+    restr = db = None
+    for t, bt in zip(terms, bound):
+        ok = (
+            not t.boundary
+            and t.kind in ("mass", "diffusion", "convection")
+            and lanemajor.supports(bt.db, bt.qdata, t.kind)
+            and (restr is None or bt.restr is restr)
+            and (db is None or bt.db is db)
+        )
+        if ok:
+            restr, db = bt.restr, bt.db
+            lane_terms.append(
+                (t.kind, lanemajor.transpose_qdata(t.kind, bt.qdata))
+            )
+        else:
+            std.append(bt)
+    if not lane_terms:
+        return None, ()
+    return (
+        _LaneGroup(lb=lanemajor.lane_basis(db), restr=restr,
+                   terms=tuple(lane_terms)),
+        tuple(std),
+    )
 
 
 def _assemble_elasticity_matrix_impl(fes, nq1d, term, dtype):

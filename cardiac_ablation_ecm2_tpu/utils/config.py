@@ -53,6 +53,11 @@ class Config:
     #: ops/block_gather.py — XLA scalar gathers are ~1500× off roofline on
     #: TPU.)
     fast_restriction: str = "auto"
+    #: Lane-major transposed PA apply (ops/lanemajor.py): "auto" = on for
+    #: scalar mass/diffusion/convection with nd ≤ 256 (elements ride the
+    #: 128-lane axis — faster AND more accurate than the staged einsums);
+    #: "off" forces the sum-factorized path.
+    lane_major: str = "auto"
 
 
 config = Config()
