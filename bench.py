@@ -62,8 +62,26 @@ def main():
               quad_extra=int(os.environ.get("BENCH_QUAD_EXTRA", "0")))
 
     L = 0.04
-    mesh = make_cartesian_3d(n, n, n, L, L, L)
-    unstructured = os.environ.get("BENCH_UNSTRUCTURED", "0") == "1"
+    # BENCH_MESH: "cartesian" (default), "cardiac-tet" (genuinely
+    # unstructured Delaunay tets + electrode notch), "cardiac-hex"
+    # (warped/jittered hexes + notch) — the BASELINE config-5 workload on a
+    # real mesh (mesh/cardiac.py); identical files feed the MFEM CPU driver
+    # (tools/mfem_bioheat_bench.cpp).
+    mesh_kind = os.environ.get("BENCH_MESH", "cartesian")
+    cardiac = mesh_kind.startswith("cardiac")
+    unstructured = cardiac or os.environ.get("BENCH_UNSTRUCTURED", "0") == "1"
+    if mesh_kind == "cardiac-tet":
+        from cardiac_ablation_ecm2_tpu.mesh.cardiac import make_cardiac_tet_mesh
+
+        mesh = make_cardiac_tet_mesh(
+            n, lengths=(L, L, L / 2), electrode_radius=0.004)
+    elif mesh_kind == "cardiac-hex":
+        from cardiac_ablation_ecm2_tpu.mesh.cardiac import make_cardiac_hex_mesh
+
+        mesh = make_cardiac_hex_mesh(
+            n, lengths=(L, L, L / 2), electrode_radius=0.004)
+    else:
+        mesh = make_cartesian_3d(n, n, n, L, L, L)
     if unstructured:
         # generic unstructured path: entity-key dof numbering + block-gather
         # restriction (the path a real cardiac mesh takes)
@@ -74,9 +92,19 @@ def main():
         # structured Cartesian space: gather-free restriction (fast path)
         fes = CartesianFESpace(mesh, order, (n, n, n), (L, L, L))
 
+    src_ctr = (L / 2, L / 2, L / 2 if not cardiac else L / 2)
+
     def src(x):
-        r2 = sum((x[..., i] - L / 2) ** 2 for i in range(3))
+        r2 = sum((x[..., i] - src_ctr[i]) ** 2 for i in range(3))
         return 1e6 * jnp.exp(-r2 / (L / 8) ** 2)
+
+    if cardiac:
+        # Gaussian SAR source at the electrode tip (mesh/cardiac.py)
+        ctr = (L / 2, L / 2, L / 2)
+
+        def src(x):  # noqa: F811
+            r2 = sum((x[..., i] - ctr[i]) ** 2 for i in range(3))
+            return 2e7 * jnp.exp(-r2 / (2 * 0.003**2))
 
     # BENCH_HOST_SETUP=1: build the operator on the CPU backend so the
     # step-jit's embedded constants need no TPU device->host fetch (a
@@ -136,8 +164,11 @@ def main():
     try:
         with open(os.path.join(os.path.dirname(__file__), "bench_baseline.json")) as f:
             bj = json.load(f)
-        rows = [bj["config"] | {"seconds_per_step": bj["mfem_cpu_seconds_per_step"]}]
-        rows += bj.get("also_measured", [])
+        if cardiac:
+            rows = [r for r in bj.get("cardiac", []) if r.get("mesh") == mesh_kind]
+        else:
+            rows = [bj["config"] | {"seconds_per_step": bj["mfem_cpu_seconds_per_step"]}]
+            rows += bj.get("also_measured", [])
         match = [r for r in rows if r.get("n") == n]
         if match:
             baseline = match[0]["seconds_per_step"]
@@ -167,6 +198,7 @@ def main():
             "device": str(jax.devices()[0]),
             "solver": "sdirk33+pcg(jacobi)", "rel_tol": tol,
             "path": "unstructured" if unstructured else "structured",
+            "mesh": mesh_kind,
         },
     }))
 

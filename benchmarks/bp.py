@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--structured", action="store_true",
                     help="use the Cartesian gather-free fast path")
+    ap.add_argument("--simplex", action="store_true",
+                    help="tet mesh (non-tensor basis, lane-major full-matrix apply)")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +41,10 @@ def main():
     from cardiac_ablation_ecm2_tpu.fem.cartesian import CartesianFESpace
     from cardiac_ablation_ecm2_tpu.linalg.solvers import cg
     from cardiac_ablation_ecm2_tpu.linalg.smoothers import jacobi
-    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_3d
+    from cardiac_ablation_ecm2_tpu.mesh import (
+        make_cartesian_3d,
+        make_cartesian_3d_tet,
+    )
     from cardiac_ablation_ecm2_tpu.ops import BilinearForm, ConstrainedOperator
     from cardiac_ablation_ecm2_tpu.utils.config import configure
 
@@ -48,10 +53,14 @@ def main():
     for order in [int(o) for o in args.orders.split(",")]:
         # keep dof count roughly constant across orders
         n = max(2, args.n // order)
-        mesh = make_cartesian_3d(n, n, n)
-        if args.structured:
+        if args.simplex:
+            mesh = make_cartesian_3d_tet(n, n, n)
+            fes = FESpace(mesh, order)
+        elif args.structured:
+            mesh = make_cartesian_3d(n, n, n)
             fes = CartesianFESpace(mesh, order, (n, n, n))
         else:
+            mesh = make_cartesian_3d(n, n, n)
             fes = FESpace(mesh, order)
         for bp, kind in (("BP1", "mass"), ("BP3", "diffusion")):
             a = BilinearForm(fes).add_domain_integrator(kind)
@@ -82,6 +91,7 @@ def main():
                 "dtype": args.dtype,
                 "device": str(jax.devices()[0]),
                 "structured": args.structured,
+                "simplex": args.simplex,
             }), flush=True)
 
 
