@@ -49,7 +49,8 @@ def main():
     t0 = time.perf_counter()
     fast = FastElementRestriction.from_map(gmap, fes.ndof_scalar)
     print(f"table build: {time.perf_counter()-t0:.2f}s "
-          f"K_gather={fast.tg.K} K_scatter={fast.ts.K} J={fast.ts.J}")
+          f"K_gather={fast.tg.K} "
+          f"K_scatter={[t.K for t in fast.ts]} J={[t.J for t in fast.ts]}")
     base = ElementRestriction.from_map(gmap, fes.ndof_scalar)
 
     u = jnp.arange(fes.ndof_scalar, dtype=jnp.float32) * 1e-6

@@ -121,6 +121,13 @@ class StructuredRestriction:
         v = self._contract(v, 0, ny)
         return v.reshape(self.ndof, *extra)
 
+    def mult_t(self, u: jnp.ndarray) -> jnp.ndarray:
+        """L→E transposed (nd, ne) — lane-major layout (ops/lanemajor.py)."""
+        return self.mult(u).T
+
+    def mult_transpose_t(self, e_T: jnp.ndarray) -> jnp.ndarray:
+        return self.mult_transpose(e_T.T)
+
     def counts(self) -> jnp.ndarray:
         ones = jnp.ones((self.ne, self.nd))
         return self.mult_transpose(ones).astype(jnp.int32)

@@ -58,6 +58,31 @@ def _electrode_center(L: np.ndarray) -> np.ndarray:
     return np.array([L[0] / 2, L[1] / 2, L[2]])
 
 
+def _part1by2(x: np.ndarray) -> np.ndarray:
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _morton_argsort(cent: np.ndarray, L: np.ndarray) -> np.ndarray:
+    """Element order along a Morton (Z-order) curve of the centroids.
+
+    Coherent element numbering is what keeps the block-gather restriction's
+    per-row source-block count K small (fem/restriction.py K_MAX): 128
+    consecutive elements then touch a compact dof neighborhood.  Delaunay
+    output order is essentially random and measured K≈190 (unusable)."""
+    q = np.clip((cent / L * 1024.0).astype(np.int64), 0, 1023)
+    code = (
+        (_part1by2(q[:, 2]) << 2)
+        | (_part1by2(q[:, 1]) << 1)
+        | _part1by2(q[:, 0])
+    )
+    return np.argsort(code, kind="stable")
+
+
 def make_cardiac_tet_mesh(
     n: int = 24,
     lengths=(40.0, 40.0, 20.0),
@@ -103,7 +128,8 @@ def make_cardiac_tet_mesh(
     ctr = _electrode_center(L)
     cent = pts[tets].mean(axis=1)
     outside = np.linalg.norm(cent - ctr, axis=1) > electrode_radius
-    tets = tets[outside]
+    tets, cent = tets[outside], cent[outside]
+    tets = tets[_morton_argsort(cent, L)]
 
     return _finish_tet_mesh(pts, tets, L, electrode_radius)
 
@@ -164,7 +190,8 @@ def make_cardiac_hex_mesh(
     ctr = _electrode_center(L)
     cent = pts[m.elements].mean(axis=1)
     keep = np.linalg.norm(cent - ctr, axis=1) > electrode_radius
-    hexes = m.elements[keep]
+    hexes, cent = m.elements[keep], cent[keep]
+    hexes = hexes[_morton_argsort(cent, L)]
 
     # boundary quads of the carved mesh: faces appearing exactly once
     _HEX_FACES = (

@@ -254,12 +254,12 @@ class BioheatOperator:
         fp error vs the f64 reference (full-width HIGHEST matmuls beat the
         staged einsum chain's accumulation)."""
         if self._lane is not None:
-            eT = self.restr.mult(v).T                        # (nd, ne)
+            eT = self.restr.mult_t(v)                        # (nd, ne)
             yT = lanemajor.mass_diffusion_apply(
                 self._lane, self._qmT + gamma * self._qwT, self._qkT,
                 eT, gamma,
             )
-            return self.restr.mult_transpose(yT.T)
+            return self.restr.mult_transpose_t(yT)
         e = self.restr.mult(v)
         out = mass.apply(self.db, self.Mrc_qd + gamma * self.Mw_qd, e) \
             + gamma * diffusion.apply(self.db, self.K_qd, e)

@@ -109,9 +109,9 @@ class PAOperator:
             xl = x
         out = None
         if self.lane is not None:
-            eT = self.lane.restr.mult(xl).T              # (nd, ne)
+            eT = self.lane.restr.mult_t(xl)              # (nd, ne)
             yT = lanemajor.apply_terms(self.lane.lb, self.lane.terms, eT)
-            out = self.lane.restr.mult_transpose(yT.T)
+            out = self.lane.restr.mult_transpose_t(yT)
         std = self.std_terms if self.lane is not None else self.terms
         for t in std:
             e = t.restr.mult(xl)

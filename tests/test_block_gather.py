@@ -36,7 +36,7 @@ def _check_space(fes):
     assert np.array_equal(eg, np.asarray(base.mult(u)))
 
     flat = ue.reshape(-1)
-    out = np.asarray(bg.apply(flat, fast.ts, interpret=True))
+    out = sum(np.asarray(bg.apply(flat, t, interpret=True)) for t in fast.ts)
     ref = np.asarray(base.mult_transpose(ue))
     assert np.allclose(out, ref, atol=1e-5 * max(1.0, np.abs(ref).max()))
 
