@@ -195,6 +195,56 @@ class NDSpace:
     def nd_elem(self):
         return self.gather_map.shape[1]
 
+    def essential_dofs(self, bdr_marker=None) -> np.ndarray:
+        """Edge dofs on the marked boundary (tangential-trace dofs; the
+        ex3-class n×E = 0 constraint).  ``bdr_marker=None`` → all boundary
+        attributes (GetEssentialTrueDofs analog, fem/fespace.hpp:1357)."""
+        return _boundary_edge_dofs(self.mesh, bdr_marker)
+
+
+def _boundary_edge_dofs(mesh, bdr_marker=None) -> np.ndarray:
+    from ..mesh.mesh import unique_edges
+
+    edges, _ = unique_edges(mesh)
+    bdr = mesh.boundary
+    if bdr_marker is not None:
+        sel = np.isin(mesh.bdr_attributes, np.asarray(list(bdr_marker)))
+        bdr = bdr[sel]
+    nfv = bdr.shape[1]
+    if mesh.dim == 2:
+        bedges = np.sort(bdr, axis=1)
+    else:
+        pairs = [
+            np.sort(bdr[:, [i, (i + 1) % nfv]], axis=1) for i in range(nfv)
+        ]
+        bedges = np.concatenate(pairs, axis=0)
+    key = edges[:, 0] * (mesh.nv + 1) + edges[:, 1]
+    bkey = np.unique(bedges[:, 0] * (mesh.nv + 1) + bedges[:, 1])
+    return np.nonzero(np.isin(key, bkey))[0].astype(np.int32)
+
+
+def _boundary_face_dofs(mesh, bdr_marker=None) -> np.ndarray:
+    from ..mesh.mesh import unique_edges, unique_faces
+
+    if mesh.dim == 2:
+        faces, _ = unique_edges(mesh)
+    else:
+        faces, _ = unique_faces(mesh)
+    bdr = mesh.boundary
+    if bdr_marker is not None:
+        sel = np.isin(mesh.bdr_attributes, np.asarray(list(bdr_marker)))
+        bdr = bdr[sel]
+    bsort = np.sort(bdr, axis=1)
+    base = np.int64(mesh.nv + 1)
+    def enc(rows):
+        k = np.zeros(len(rows), dtype=np.int64)
+        for c in range(rows.shape[1]):
+            k = k * base + rows[:, c]
+        return k
+    fs = np.sort(faces, axis=1)
+    return np.nonzero(np.isin(enc(fs), np.unique(enc(bsort))))[0] \
+        .astype(np.int32)
+
 
 @dataclasses.dataclass(eq=False)
 class RTSpace:
@@ -265,3 +315,8 @@ class RTSpace:
     @property
     def nd_elem(self):
         return self.gather_map.shape[1]
+
+    def essential_dofs(self, bdr_marker=None) -> np.ndarray:
+        """Face dofs on the marked boundary (normal-trace dofs; the
+        ex4-class u·n constraint)."""
+        return _boundary_face_dofs(self.mesh, bdr_marker)

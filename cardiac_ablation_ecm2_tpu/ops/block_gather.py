@@ -192,8 +192,13 @@ def _apply(src, blk, codes, *, nsrc_rows, K, J, nout, interpret=False,
     return out.reshape(-1)[:nout]
 
 
-def apply(src: jnp.ndarray, t: BlockGatherTables, *, interpret: bool = False,
+def apply(src: jnp.ndarray, t: BlockGatherTables, *, interpret: bool = None,
           row_block: int = None) -> jnp.ndarray:
-    """out[i] = Σ_j src[g_j[i]] for the fixed maps captured in ``t``."""
+    """out[i] = Σ_j src[g_j[i]] for the fixed maps captured in ``t``.
+
+    ``interpret=None`` → Pallas interpret mode off TPU (slow but correct —
+    lets the fast-restriction paths run under the CPU test harness)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     return _apply(src, t.blk, t.codes, nsrc_rows=t.nsrc_rows, K=t.K, J=t.J,
                   nout=t.nout, interpret=interpret, row_block=row_block)

@@ -365,9 +365,24 @@ def discrete_divergence(rt_space: RTSpace, l2_fes=None):
 
 
 def _vertex_dof_map(h1_fes) -> np.ndarray:
-    """vertex id → H1 order-1 scalar dof id."""
+    """vertex id → H1 order-1 scalar dof id.
+
+    The space's local dof order (lexicographic) is a PERMUTATION of the
+    element vertex order on tensor geometries (hex vertex 2 is lex dof 3,
+    …), so the columns must be aligned by matching local-node coordinates
+    against the element's vertex coordinates before scattering."""
+    from ..fem.fespace import element_node_coords
+
     mesh = h1_fes.mesh
     assert h1_fes.order == 1
+    X0 = element_node_coords(mesh, 1)[0]          # (ndl, sdim) local coords
+    V0 = mesh.vertices[mesh.elements[0]]          # (nv_el, sdim)
+    vtx_of_dof = np.array([
+        int(np.argmin(((V0 - X0[n]) ** 2).sum(axis=1)))
+        for n in range(X0.shape[0])
+    ])
+    assert len(np.unique(vtx_of_dof)) == len(vtx_of_dof)
     out = np.zeros(mesh.nv, dtype=np.int64)
-    out[mesh.elements.reshape(-1)] = h1_fes.gather_map.reshape(-1)
+    out[mesh.elements[:, vtx_of_dof].reshape(-1)] = \
+        h1_fes.gather_map.reshape(-1)
     return out
