@@ -167,9 +167,9 @@ class NavierSolver:
             Nq = jnp.einsum("eqj,eqjc->eqc", uq, gq)
             return self._vector_lf(Nq)
 
-        def step(hist, p):
+        def step(hist, p, u_bc, b_f):
             # hist: tuple of (d, ns) velocities, newest first
-            rhs = self.b_f - sum(
+            rhs = b_f - sum(
                 ab[i] * conv_lf(hist[i]) for i in range(len(ab)) if ab[i]
             )
             rhs = rhs - self._mass_apply(
@@ -190,14 +190,14 @@ class NavierSolver:
             dgv = jnp.tile(dg[None], (self.dim, 1))
             if self.has_ess:
                 dgv = dgv * self.ess_mask + (1.0 - self.ess_mask)
-            B = self._zero_ess(rhs - (bd0dt * self._mass_apply(self.u_bc)
-                                      + self._stiff_apply(self.u_bc)))
+            B = self._zero_ess(rhs - (bd0dt * self._mass_apply(u_bc)
+                                      + self._stiff_apply(u_bc)))
             x0 = jnp.zeros_like(B)
             inv = 1.0 / dgv.reshape(-1)
             ustar_h, _ = cg(H, B.reshape(-1), x0=x0.reshape(-1),
                             M=lambda r: inv * r,
                             rel_tol=self.rel_tol, max_iter=self.max_iter)
-            ustar = ustar_h.reshape(self.dim, self.ns) + self.u_bc
+            ustar = ustar_h.reshape(self.dim, self.ns) + u_bc
 
             # pressure increment: (∇φ, ∇q) = −bd0/dt (∇·u*, q), mean-zero
             gq = self._phys_grad(ustar)
@@ -244,7 +244,7 @@ class NavierSolver:
             u_new = u_new.reshape(self.dim, self.ns)
             if self.has_ess:
                 u_new = (u_new * self.ess_mask
-                         + self.u_bc * (1.0 - self.ess_mask))
+                         + u_bc * (1.0 - self.ess_mask))
             return u_new, p_new
 
         return jax.jit(step)
@@ -260,15 +260,39 @@ class NavierSolver:
         p = jnp.zeros(self.ns, rt)
         return u, p
 
-    def run(self, dt: float, nsteps: int, u0: Optional[Callable] = None):
+    def run(self, dt: float, nsteps: int, u0: Optional[Callable] = None,
+            vel_bc_t: Optional[Callable] = None,
+            forcing_t: Optional[Callable] = None, t0: float = 0.0):
+        """``vel_bc_t(x, t)`` / ``forcing_t(x, t)``: optional time-dependent
+        Dirichlet data / body force, evaluated at each step's END time (the
+        implicit side of the split scheme — miniapps/fluids convention);
+        they enable manufactured-solution temporal-convergence tests
+        (e.g. the decaying Taylor-Green vortex)."""
+        rt = real_t(self.dtype)
         u, p = self.initial_state(u0)
         s1 = self._make_step(dt, 1)
         s2 = self._make_step(dt, 2)
+
+        def bc_at(t):
+            if vel_bc_t is None:
+                return self.u_bc
+            g = np.asarray(vel_bc_t(self.pfes.dof_coords, t), dtype=float)
+            return jnp.asarray(g.T.copy(), rt)
+
+        def f_at(t):
+            if forcing_t is None:
+                return self.b_f
+            fq = jnp.asarray(
+                np.asarray(forcing_t(np.asarray(self.gf.x), t)), rt)
+            return self._vector_lf(fq)
+
+        t = t0 + dt
         u_prev = u
-        u_new, p = s1((u,), p)
+        u_new, p = s1((u,), p, bc_at(t), f_at(t))
         u, u_prev = u_new, u
         for _ in range(nsteps - 1):
-            u_new, p = s2((u, u_prev), p)
+            t = t + dt
+            u_new, p = s2((u, u_prev), p, bc_at(t), f_at(t))
             u, u_prev = u_new, u
         return u, p
 

@@ -93,10 +93,10 @@ def test_navier_3d_dissipation_and_divergence():
     s1 = ns._make_step(dt, 1)
     s2 = ns._make_step(dt, 2)
     u_prev = u
-    u, p = s1((u,), p)
+    u, p = s1((u,), p, ns.u_bc, ns.b_f)
     kes.append(ns.velocity_error(u, zero))
     for _ in range(10):
-        u_new, p = s2((u, u_prev), p)
+        u_new, p = s2((u, u_prev), p, ns.u_bc, ns.b_f)
         u, u_prev = u_new, u
         kes.append(ns.velocity_error(u, zero))
     assert all(np.isfinite(kes))
@@ -105,3 +105,36 @@ def test_navier_3d_dissipation_and_divergence():
     # the split scheme controls divergence weakly (pressure-space test
     # functions): bounded relative to the field, not pointwise zero
     assert ns.div_norm(u) < 0.8 * kes[-1]
+
+
+def tg_u(x, t, nu):
+    """Decaying 2D Taylor-Green vortex: exact Navier-Stokes solution
+    (f = 0) — u = (cos πx sin πy, −sin πx cos πy)·e^{−2π²νt}."""
+    x = np.asarray(x)
+    F = np.exp(-2 * np.pi**2 * nu * t)
+    return np.stack(
+        [np.cos(np.pi * x[..., 0]) * np.sin(np.pi * x[..., 1]),
+         -np.sin(np.pi * x[..., 0]) * np.cos(np.pi * x[..., 1])],
+        axis=-1) * F
+
+
+def test_taylor_green_temporal_convergence_rate():
+    """Cold-start temporal convergence on the decaying Taylor-Green vortex
+    (the reference validates NavierSolver with convergence rates —
+    miniapps/fluids/tests/).  BDF2/EXT2 + rotational pressure correction
+    should show ~2nd-order velocity error in dt; a first-order-locked
+    splitting would show rate ≈ 1."""
+    nu = 0.05
+    T = 0.4
+    m = make_cartesian_2d(4, 4)
+    errs = []
+    for nsteps in (8, 16, 32):
+        ns = NavierSolver(mesh=m, order=6, kin_vis=nu, rel_tol=1e-12)
+        u, p = ns.run(dt=T / nsteps, nsteps=nsteps,
+                      u0=lambda x: tg_u(x, 0.0, nu),
+                      vel_bc_t=lambda x, t: tg_u(x, t, nu))
+        errs.append(ns.velocity_error(u, lambda x: tg_u(x, T, nu)))
+    r1 = np.log2(errs[0] / errs[1])
+    r2 = np.log2(errs[1] / errs[2])
+    assert r2 > 1.6, (errs, r1, r2)
+    assert errs[2] < errs[0] / 8
