@@ -124,6 +124,7 @@ def main():
             fes=fes, rho_c=3.6e6, k=0.54, w_cb=2e4, T_a=37.0, q_met=src,
             ess_bdr=[1, 2, 3, 4, 5, 6], rel_tol=tol, max_iter=300,
             dtype=dtype, fused_setup=True, theta_form=True,
+            qdata_bf16=os.environ.get("BENCH_BF16_QDATA", "0") == "1",
             collapse_uniform_qdata=(
                 not unstructured
                 and os.environ.get("BENCH_NO_COLLAPSE", "0") != "1"),

@@ -90,6 +90,14 @@ class BioheatOperator:
     #: rel_tol ≥ 1e-6, ~0.3 ms/iteration cheaper on v5e), or "auto"
     #: (f32 iff rel_tol ≥ 1e-6).
     dot_mode: str = "auto"
+    #: store the 6-sym DIFFUSION qdata in bfloat16 (opt-in): halves the
+    #: dominant HBM stream of the CG apply (6 of the 8 qdata components).
+    #: Contractions still accumulate in f32 (the bf16 operand upcasts);
+    #: mass/perfusion qdata, diagonals and RHS stay f32 — casting the mass
+    #: stream too was measured 10× worse (6.0e-4 K vs 6.0e-5 K error on a
+    #: 0.66 K rise at 16³/10 steps vs the f64 reference; f32 baseline
+    #: 9.7e-7 K).  See BASELINE.md.
+    qdata_bf16: bool = False
     #: lane-major (nd, ne) implicit apply via the shared ops/lanemajor.py
     #: path (tensor hex/quad AND simplex bases): contractions become
     #: (nq×nd)@(nd, ne) matmuls with elements on the 128-lane axis — faster
@@ -204,6 +212,9 @@ class BioheatOperator:
             self.Mrc_qd = _collapse_uniform(self.Mrc_qd, axis=0)
             self.Mw_qd = _collapse_uniform(self.Mw_qd, axis=0)
             self.K_qd = _collapse_uniform(self.K_qd, axis=1)
+
+        if self.qdata_bf16:
+            self.K_qd = self.K_qd.astype(jnp.bfloat16)
 
         # transposed (lane-major) full-matrix apply via the shared
         # ops/lanemajor.py path — see _implicit_lhs_apply.  Collapsed qdata

@@ -119,3 +119,39 @@ def test_bioheat_steady_state_with_source():
     scale = np.abs(np.asarray(op.b_const)).max()
     assert np.abs(r).max() < 1e-6 * scale, np.abs(r).max()
     assert float(jnp.max(T)) > 37.5   # heated interior
+
+
+def test_bioheat_bf16_qdata_accuracy():
+    """Opt-in bf16 diffusion qdata (models/bioheat.py qdata_bf16): operator
+    stream halves, end-to-end temperature error stays ~1e-4-K-level on a
+    0.66 K rise (measured 6.0e-5 K vs the f64 reference at 16^3; casting
+    the mass qdata too was 10x worse and is deliberately NOT done)."""
+    import jax.numpy as jnp
+
+    from cardiac_ablation_ecm2_tpu.fem import FESpace
+    from cardiac_ablation_ecm2_tpu.linalg import ode
+    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_3d
+    from cardiac_ablation_ecm2_tpu.models.bioheat import BioheatOperator
+
+    L = 0.04
+    mesh = make_cartesian_3d(8, 8, 8, L, L, L)
+
+    def src(x):
+        r2 = sum((x[..., i] - L / 2) ** 2 for i in range(3))
+        return 1e6 * jnp.exp(-r2 / (L / 8) ** 2)
+
+    def run(bf):
+        fes = FESpace(mesh, 2)
+        op = BioheatOperator(fes, rho_c=3.6e6, k=0.54, w_cb=2e4, T_a=37.0,
+                             q_met=src, ess_bdr=[1, 2, 3, 4, 5, 6],
+                             rel_tol=1e-8, theta_form=True, qdata_bf16=bf)
+        solver = ode.select("sdirk33")
+        T = jnp.zeros(fes.ndof)
+        t, dt = jnp.asarray(0.0), jnp.asarray(0.25)
+        for _ in range(5):
+            T, t = solver.step(op, T, t, dt)
+        return float(T.max())
+
+    ref, bf16 = run(False), run(True)
+    assert ref > 0.1                      # heating happened
+    assert abs(bf16 - ref) < 3e-4 * max(ref, 1.0)
