@@ -195,6 +195,44 @@ class NCFESpace:
                             queries.append(_face_key(ids, (i, j), p))
                 per_face.append((grid_slots, s_list))
 
+        # --- tri-face constraints (NC tet meshes, order 2): the interior
+        # node of each fine MEDIAL edge (interior to a refined master tri
+        # face) is the master face's P₂ trace at that point.  P₂ tet dofs
+        # are nodal (vertices + edge midpoints), so the weights are the six
+        # P₂ triangle shape functions at the node's barycentric position.
+        per_tri = []   # (master_slots[6], [(slave_slot, (lA, lB, lC)), …])
+        tri_cons = getattr(self.nc, "tri_face_constraints", None)
+        if tri_cons is not None and len(tri_cons) and p >= 2:
+            if p > 2:
+                raise NotImplementedError(
+                    "NC tet faces at order ≥ 3 (face-interior master dofs)")
+            pos3 = {}
+            for i, pnt in enumerate(mesh.vertices):
+                pos3.setdefault(tuple(pnt), i)
+
+            def midv3(x, y):
+                return pos3[tuple(0.5 * (mesh.vertices[x]
+                                         + mesh.vertices[y]))]
+
+            for (A, B, C) in tri_cons:
+                A, B, C = int(A), int(B), int(C)
+                mAB, mBC, mCA = midv3(A, B), midv3(B, C), midv3(C, A)
+                m_slots = []
+                for k in (_vert_key(A), _vert_key(B), _vert_key(C),
+                          _edge_key(A, B, 1), _edge_key(B, C, 1),
+                          _edge_key(C, A, 1)):
+                    m_slots.append(len(queries))
+                    queries.append(k)
+                s_list = []
+                for (m1, m2, lam) in (
+                    (mAB, mBC, (0.25, 0.50, 0.25)),
+                    (mBC, mCA, (0.25, 0.25, 0.50)),
+                    (mCA, mAB, (0.50, 0.25, 0.25)),
+                ):
+                    s_list.append((len(queries), lam))
+                    queries.append(_edge_key(m1, m2, 1))
+                per_tri.append((m_slots, s_list))
+
         if queries:
             _, _, qids = encode_rows(
                 main_keys, np.asarray(queries, dtype=np.int64)
@@ -217,6 +255,17 @@ class NCFESpace:
                 rows[s] = [
                     (masters[g], w2[g])
                     for g in range(len(masters)) if abs(w2[g]) > 1e-14
+                ]
+        for (m_slots, s_list) in per_tri:
+            masters = [int(qids[i]) for i in m_slots]
+            for (slot, (lA, lB, lC)) in s_list:
+                s = int(qids[slot])
+                w6 = [lA * (2 * lA - 1), lB * (2 * lB - 1),
+                      lC * (2 * lC - 1), 4 * lA * lB, 4 * lB * lC,
+                      4 * lC * lA]
+                rows[s] = [
+                    (masters[g], w6[g])
+                    for g in range(6) if abs(w6[g]) > 1e-14
                 ]
 
         # resolve chained constraints (slave's master itself slave)

@@ -11,8 +11,11 @@ both a midpoint and a quarter-point vertex.
 Red split: 4 corner tets + 4 octahedron tets along the m02–m13 diagonal,
 orientation fixed programmatically.  Order-1 NC spaces: the constraint
 rows (v, a, b) are exactly the quad-NC format, so ``fem/ncfespace``'s
-edge machinery applies unchanged; order ≥ 2 needs tri-face interpolation
-constraints (deferred)."""
+edge machinery applies unchanged.  Order 2 additionally interpolates the
+medial-edge interior nodes from the master face's P₂ trace (the
+``tri_face_constraints`` here + the tri-face branch in ``fem/ncfespace``
+— the reference's triangular master/slave constraints,
+mesh/ncmesh.cpp); order ≥ 3 (face-interior master dofs) is deferred."""
 
 from __future__ import annotations
 
@@ -29,11 +32,24 @@ _TET_EDGES = EDGES[Geometry.TETRAHEDRON]
 
 @dataclasses.dataclass(eq=False)
 class NCTetMesh:
-    """Tet mesh + hanging-vertex constraints (v, a, b): v = midpoint of
-    the neighbor's unrefined edge (a, b)."""
+    """Tet mesh + hanging-node constraints.
+
+    ``constraints`` (v, a, b): hanging vertex v = midpoint of the
+    neighbor's unrefined edge (a, b) — drives edge-dof interpolation at
+    any order (fem/ncfespace.py).
+    ``tri_face_constraints`` (A, B, C): unrefined master tri faces whose
+    neighbor side is refined 1:4 — at order ≥ 2 the interior nodes of the
+    fine MEDIAL edges (mAB–mBC etc., interior to the face) must be
+    interpolated from the master face's P_p trace (the reference's
+    triangular master/slave face constraints, mesh/ncmesh.cpp)."""
 
     mesh: Mesh
     constraints: np.ndarray
+    tri_face_constraints: np.ndarray = None
+
+    def __post_init__(self):
+        if self.tri_face_constraints is None:
+            self.tri_face_constraints = np.zeros((0, 3), dtype=np.int64)
 
     @property
     def n_hanging(self) -> int:
@@ -64,6 +80,39 @@ def _find_constraints(mesh: Mesh) -> np.ndarray:
         e2 = (v, b) if v < b else (b, v)
         if e1 in edges and e2 in edges:
             rows.append((v, a, b))
+    return np.array(rows, dtype=np.int64).reshape(-1, 3)
+
+
+def _find_tri_face_constraints(mesh: Mesh) -> np.ndarray:
+    """Master tri faces (A, B, C): faces appearing once whose 3 edge
+    midpoints exist and whose 4 child faces (3 corner + medial) also
+    appear once — i.e. the neighbor side is red-refined (geometric
+    recovery, same design as _find_constraints)."""
+    from ..fem.geometry import FACES
+
+    loc = np.array(FACES[Geometry.TETRAHEDRON], dtype=np.int64)
+    fv = mesh.elements[:, loc].reshape(-1, 3)
+    key = np.sort(fv, axis=1)
+    uniq, cnt = np.unique(key, axis=0, return_counts=True)
+    singles = set(map(tuple, uniq[cnt == 1]))
+    pos = {}
+    for i, p in enumerate(mesh.vertices):
+        pos.setdefault(tuple(p), i)
+    V = mesh.vertices
+    rows = []
+    for f in uniq[cnt == 1]:
+        A, B, C = (int(x) for x in f)
+        mAB = pos.get(tuple(0.5 * (V[A] + V[B])))
+        mBC = pos.get(tuple(0.5 * (V[B] + V[C])))
+        mCA = pos.get(tuple(0.5 * (V[C] + V[A])))
+        if mAB is None or mBC is None or mCA is None:
+            continue
+        kids = [
+            tuple(sorted((A, mAB, mCA))), tuple(sorted((mAB, B, mBC))),
+            tuple(sorted((mCA, mBC, C))), tuple(sorted((mAB, mBC, mCA))),
+        ]
+        if all(k in singles for k in kids):
+            rows.append((A, B, C))
     return np.array(rows, dtype=np.int64).reshape(-1, 3)
 
 
@@ -179,9 +228,15 @@ def refine_tets_nc(nc: NCTetMesh, marks: np.ndarray,
         if not (extra & ~marks).any():
             break
         marks |= extra
-    return NCTetMesh(mesh=new_mesh, constraints=cons), parent
+    return NCTetMesh(
+        mesh=new_mesh, constraints=cons,
+        tri_face_constraints=_find_tri_face_constraints(new_mesh),
+    ), parent
 
 
 def make_nc_tet(mesh: Mesh) -> NCTetMesh:
     assert mesh.geom == Geometry.TETRAHEDRON
-    return NCTetMesh(mesh=mesh, constraints=_find_constraints(mesh))
+    return NCTetMesh(
+        mesh=mesh, constraints=_find_constraints(mesh),
+        tri_face_constraints=_find_tri_face_constraints(mesh),
+    )
