@@ -182,12 +182,16 @@ def build_nd_operator(
             Cphys = jnp.einsum(
                 "eqab,qnb->eqna", J / det[..., None, None], jnp.asarray(Cref, rt)
             )
+            # scalar, callable, or (3×3) MATRIX reluctivity — the curl is a
+            # 3-channel field so matrix qdata contracts like vector-FE mass
+            # (CurlCurlIntegrator(MatrixCoefficient&), fem/bilininteg.hpp:2808)
+            qd = _mass_qd(gf, curlcurl_coeff, rt)
         else:
             Cphys = jnp.asarray(Cref, rt)[None] / det[..., None, None]
             Cphys = jnp.broadcast_to(
                 Cphys, (mesh.ne,) + Cref.shape
             )
-        qd = curlcurl_coeff * gf.wdet
+            qd = curlcurl_coeff * gf.wdet   # 2D: scalar curl channel
         terms.append(("curlcurl", qd, Cphys))
     return _make_op(space, terms, gf, rt)
 
