@@ -11,8 +11,15 @@ from common import setup_jax, standard_parser
 def main():
     ap = standard_parser("Definite Maxwell on ND_k (ex3 analog)")
     ap.add_argument("-n", type=int, default=4)
+    ap.add_argument("--ams", action="store_true",
+                    help="AMS auxiliary-space preconditioner (order 1; "
+                         "n must be a power of 2 for the h-MG hierarchy)")
     args = ap.parse_args()
     setup_jax(args)
+
+    if args.ams:
+        run_ams(args)
+        return
 
     import jax.numpy as jnp
 
@@ -58,6 +65,67 @@ def main():
     w = np.asarray(op.gf.wdet)
     err = np.sqrt(np.sum(w[..., None] * (vals - ex) ** 2))
     print(f"CG iters {int(info.iterations)}; ||E_h − E||_L2 = {err:.4e}")
+
+
+def run_ams(args):
+    """Order-1 solve with the AMS preconditioner (linalg/ams.py, HypreAMS
+    analog) vs Jacobi — prints the iteration comparison.  Forces x64 (the
+    1e-10 tolerance is below what plain-f32 inner products can evaluate)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from cardiac_ablation_ecm2_tpu.fem import FESpace
+    from cardiac_ablation_ecm2_tpu.fem.fe_vector import NDSpace
+    from cardiac_ablation_ecm2_tpu.linalg.ams import make_ams
+    from cardiac_ablation_ecm2_tpu.linalg.solvers import cg
+    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_3d
+    from cardiac_ablation_ecm2_tpu.ops.vecfe import (
+        build_nd_operator,
+        vecfe_linear_form,
+    )
+
+    n = args.n
+    meshes = [make_cartesian_3d(2, 2, 2)]
+    while meshes[-1].ne * 8 <= n ** 3:
+        meshes.append(meshes[-1].uniform_refinement())
+    mesh = meshes[-1]
+    nd, h1 = NDSpace(mesh), FESpace(mesh, 1)
+    print(f"ND_1 on {mesh.ne} hexes: {nd.ndof} dofs "
+          f"({len(meshes)}-level h-MG auxiliaries)")
+    op = build_nd_operator(nd, mass_coeff=1.0, curlcurl_coeff=1.0)
+
+    def E(x):
+        import numpy as np
+
+        s = np.sin(np.pi * x)
+        return np.stack([s[..., 1] * s[..., 2], s[..., 2] * s[..., 0],
+                         s[..., 0] * s[..., 1]], axis=-1)
+
+    import numpy as np
+
+    # NOTE: the pure sine-product RHS is an exact discrete eigenmode on a
+    # uniform lattice (Jacobi-CG then "converges" in 1 iteration); mix in a
+    # generic component so the iteration comparison is meaningful
+    b = vecfe_linear_form(
+        op, lambda x: (2 * np.pi ** 2 + 1) * E(x)
+        + 0.1 * np.stack([1 + x[..., 0] * x[..., 1],
+                          x[..., 1] ** 2 - x[..., 2],
+                          np.exp(x[..., 0])], axis=-1))
+    ess = nd.essential_dofs(None)
+    mask = np.ones(nd.ndof)
+    mask[ess] = 0.0
+    m = jnp.asarray(mask)
+    A = lambda v: op.mult(v * m) * m + v * (1 - m)          # noqa: E731
+    dg = op.diagonal() * m + (1 - m)
+    bm = b * m
+    _, ij = cg(A, bm, M=lambda r: r / dg, rel_tol=1e-10, max_iter=8000)
+    bdr = sorted(set(mesh.bdr_attributes.tolist()))
+    ams = make_ams(nd, h1, A, dg, ess_bdr=bdr, meshes=meshes)
+    x, ia = cg(A, bm, M=ams, rel_tol=1e-10, max_iter=8000)
+    print(f"CG iterations: Jacobi {int(ij.iterations)}  "
+          f"AMS {int(ia.iterations)}")
 
 
 if __name__ == "__main__":
