@@ -131,9 +131,29 @@ def main():
         )
     solver = ode.select("sdirk33")
 
+    # Thread the LARGE operator arrays (qdata, diagonals, RHS, restriction
+    # tables) through as jit ARGUMENTS via op.override: closed-over device
+    # arrays are inlined into the MLIR as constants, and at 1M elements the
+    # multi-hundred-MB compile payload breaks the tunneled remote compile
+    # (observed 50-min compiles ending in broken pipes at n=66).
+    from cardiac_ablation_ecm2_tpu.fem.restriction import ElementRestriction
+
+    big = dict(
+        Mrc_qd=op.Mrc_qd, Mw_qd=op.Mw_qd, K_qd=op.K_qd,
+        b_const=op.b_const, Mrc_diag=op.Mrc_diag, A_diag=op.A_diag,
+        ess_mask=op.ess_mask,
+    )
+    if isinstance(op.restr, ElementRestriction):
+        big["restr"] = op.restr
+    if getattr(op, "_lane", None) is not None:
+        big.update(_qkT=op._qkT, _qmT=op._qmT, _qwT=op._qwT)
+
     @jax.jit
+    def _step(T, t, dt, big):
+        return solver.step(op.override(**big), T, t, dt)
+
     def step(T, t, dt):
-        return solver.step(op, T, t, dt)
+        return _step(T, t, dt, big)
 
     # theta form: state is the temperature rise (starts at 0)
     T = jnp.zeros(fes.ndof, dtype=jnp.dtype(dtype))

@@ -87,6 +87,14 @@ class ElementRestriction:
         )
 
 
+jax.tree_util.register_pytree_node(
+    ElementRestriction,
+    lambda r: ((r.gather, r.perm, r.seg_ids), (r.ndof,)),
+    lambda aux, ch: ElementRestriction(
+        ndof=aux[0], gather=ch[0], perm=ch[1], seg_ids=ch[2]),
+)
+
+
 def _use_fast() -> bool:
     from ..utils.config import config
 
@@ -258,3 +266,19 @@ def make_restriction(gather_map: np.ndarray, ndof: int) -> ElementRestriction:
     if _use_fast():
         return FastElementRestriction.from_map(np.asarray(gather_map), ndof)
     return ElementRestriction.from_map(np.asarray(gather_map), ndof)
+
+
+jax.tree_util.register_pytree_node(
+    FastElementRestriction,
+    lambda r: (
+        (r.gather, r.perm, r.seg_ids, r.tg, r.ts, r.tgT, r.tsT,
+         r.t_perm, r.t_head, r.t_permT, r.t_headT),
+        (r.ndof, r.max_mult),
+    ),
+    lambda aux, ch: FastElementRestriction(
+        ndof=aux[0], gather=ch[0], perm=ch[1], seg_ids=ch[2],
+        tg=ch[3], ts=ch[4], tgT=ch[5], tsT=ch[6],
+        t_perm=ch[7], t_head=ch[8], t_permT=ch[9], t_headT=ch[10],
+        max_mult=aux[1],
+    ),
+)

@@ -43,6 +43,12 @@ class BlockGatherTables:
 
     Logical contract: ``out[i] = Σ_j src[g_j[i]]`` where ``g_j == nsrc``
     means "contributes zero".
+
+    Registered as a pytree (arrays = leaves) so tables can be passed as
+    jit ARGUMENTS: closed-over device arrays are inlined into the MLIR as
+    constants, which at 1M-element scale makes multi-hundred-MB compile
+    payloads (observed broken-pipe remote compiles through the axon
+    tunnel).
     """
 
     nsrc: int                 # logical source length
@@ -52,6 +58,16 @@ class BlockGatherTables:
     codes: jnp.ndarray        # (J, B, 128) int32: sel << 7 | lane
     K: int
     J: int
+
+
+jax.tree_util.register_pytree_node(
+    BlockGatherTables,
+    lambda t: ((t.blk, t.codes),
+               (t.nsrc, t.nout, t.nsrc_rows, t.K, t.J)),
+    lambda aux, ch: BlockGatherTables(
+        nsrc=aux[0], nout=aux[1], nsrc_rows=aux[2],
+        blk=ch[0], codes=ch[1], K=aux[3], J=aux[4]),
+)
 
 
 def _row_union_blocks(rblk_planes: np.ndarray, pad_row: int):
