@@ -110,3 +110,115 @@ def save_gridfunction(path: str, fes, u) -> None:
 def load_gridfunction(path: str):
     with np.load(path) as z:
         return jnp.asarray(z["u"]), int(z["order"]), int(z["vdim"])
+
+
+# ----------------------------------------------------------------------------
+# VisIt DataCollection format (interop with the reference's tooling)
+# ----------------------------------------------------------------------------
+
+
+def _vertex_dof_values(fes, u):
+    """H1 field → per-vertex values in MESH VERTEX order (MFEM's H1 order-1
+    dof numbering IS the vertex numbering, which makes the written
+    GridFunction exactly loadable by the reference's readers)."""
+    from ..ops.vecfe import _vertex_dof_map
+
+    mesh = fes.mesh
+    u = np.asarray(u)
+    if getattr(fes, "order", 1) == 1:
+        vmap = _vertex_dof_map(fes)
+        return u[..., vmap] if u.ndim > 1 else u[vmap]
+    # higher order: restrict to vertices (visualization-grade, lossy)
+    from ..fem.fespace import element_node_coords
+
+    X0 = element_node_coords(mesh, fes.order)[0]
+    import numpy as _np
+
+    V0 = mesh.vertices[mesh.elements[0]]
+    vtx_of_dof = _np.array([
+        int(_np.argmin(((V0 - X0[n]) ** 2).sum(axis=1)))
+        for n in range(X0.shape[0])
+    ])
+    pos_of_vtx = _np.argsort(vtx_of_dof)
+    out = _np.zeros(mesh.nv, dtype=u.dtype)
+    gm = fes.gather_map
+    out[mesh.elements.reshape(-1)] = u[gm[:, pos_of_vtx].reshape(-1)]
+    return out
+
+
+def save_visit(path: str, name: str, mesh, fields: Dict[str, tuple],
+               cycle: int = 0, time: float = 0.0, dt: float = 0.0) -> str:
+    """Write a VisIt DataCollection: ``<name>_NNNNNN.mfem_root`` (JSON) +
+    ``<name>_NNNNNN/mesh.000000`` (MFEM mesh v1.0) + one MFEM GridFunction
+    file per field — loadable by VisIt's MFEM plugin and by the
+    reference's ``VisItDataCollection::Load`` / ``convert-dc`` tools
+    (fem/datacollection.hpp:426, writer datacollection.cpp:480-660).
+
+    ``fields``: name → (fes, array).  H1 order-1 fields are written
+    exactly; higher orders are vertex-restricted (viz-grade)."""
+    from .mesh_io import write_mfem_mesh
+
+    pad = f"{cycle:06d}"
+    ddir = os.path.join(path, f"{name}_{pad}")
+    os.makedirs(ddir, exist_ok=True)
+    write_mfem_mesh(mesh, os.path.join(ddir, "mesh.000000"))
+
+    fjson = {}
+    for fname, (fes, arr) in fields.items():
+        vals = _vertex_dof_values(fes, arr)
+        vdim = 1 if vals.ndim == 1 else vals.shape[0]
+        with open(os.path.join(ddir, f"{fname}.000000"), "w") as f:
+            f.write("FiniteElementSpace\n")
+            f.write(f"FiniteElementCollection: H1_{mesh.dim}D_P1\n")
+            f.write(f"VDim: {vdim}\nOrdering: 0\n\n")
+            flat = vals.reshape(-1) if vals.ndim == 1 else \
+                vals.reshape(vdim, -1).T.reshape(-1)   # byNODES
+            for v in flat:
+                f.write(f"{float(v)!r}\n")
+        fjson[fname] = {
+            "path": f"{name}_{pad}/{fname}.%06d",
+            "tags": {"assoc": "nodes", "comps": str(vdim), "lod": "1"},
+        }
+
+    root = {
+        "dsets": {"main": {
+            "cycle": cycle, "time": time, "time_step": dt, "domains": 1,
+            "mesh": {"path": f"{name}_{pad}/mesh.%06d",
+                     "tags": {"spatial_dim": str(mesh.sdim),
+                              "topo_dim": str(mesh.dim),
+                              "max_lods": "32"}},
+            "fields": fjson,
+        }}
+    }
+    root_path = os.path.join(path, f"{name}_{pad}.mfem_root")
+    with open(root_path, "w") as f:
+        json.dump(root, f, indent=1)
+    return root_path
+
+
+def load_visit(root_path: str):
+    """Load a VisIt DataCollection root written by ``save_visit`` (or the
+    reference): returns (mesh, {field: values (vertex order)}, meta)."""
+    from .mesh_io import read_mfem_mesh
+
+    with open(root_path) as f:
+        main = json.load(f)["dsets"]["main"]
+    base = os.path.dirname(root_path)
+
+    def _p(tpl):
+        return os.path.join(base, tpl % 0)
+
+    mesh = read_mfem_mesh(open(_p(main["mesh"]["path"])).read())
+    fields = {}
+    for fname, spec in main.get("fields", {}).items():
+        with open(_p(spec["path"])) as f:
+            lines = f.read().split("\n")
+        i = lines.index("") + 1
+        vals = np.array([float(x) for x in lines[i:] if x.strip()])
+        comps = int(spec["tags"].get("comps", "1"))
+        if comps > 1:
+            vals = vals.reshape(-1, comps).T
+        fields[fname] = vals
+    meta = {"cycle": main["cycle"], "time": main["time"],
+            "time_step": main.get("time_step", 0.0)}
+    return mesh, fields, meta

@@ -88,3 +88,29 @@ def test_domain_lf_vector():
     b2 = np.asarray(b).reshape(2, fes.ndof_scalar)
     assert np.isclose(b2[0].sum(), 2.0, atol=1e-12)
     assert np.isclose(b2[1].sum(), -3.0, atol=1e-12)
+
+
+def test_visit_datacollection_roundtrip(tmp_path):
+    """VisIt format (fem/datacollection.hpp:426 analog): root JSON + MFEM
+    mesh + GridFunction files; roundtrips through our own loader and the
+    GridFunction body is plain MFEM H1 P1 (reference-readable)."""
+    import numpy as np
+
+    from cardiac_ablation_ecm2_tpu.fem import FESpace
+    from cardiac_ablation_ecm2_tpu.io.checkpoint import load_visit, save_visit
+    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_3d
+
+    mesh = make_cartesian_3d(3, 3, 3)
+    fes = FESpace(mesh, 1)
+    from cardiac_ablation_ecm2_tpu.fem.gridfunction import project
+
+    f = lambda x: 1.0 + 2 * np.asarray(x)[..., 0] - np.asarray(x)[..., 2]
+    u = project(fes, f)
+    root = save_visit(str(tmp_path), "run", mesh, {"T": (fes, u)},
+                      cycle=3, time=0.75)
+    assert root.endswith("run_000003.mfem_root")
+    m2, fields, meta = load_visit(root)
+    assert m2.ne == mesh.ne and m2.nv == mesh.nv
+    assert meta["cycle"] == 3 and abs(meta["time"] - 0.75) < 1e-15
+    # values are in vertex order: compare against f at the vertices
+    assert np.abs(fields["T"] - f(mesh.vertices)).max() < 1e-12
