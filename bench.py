@@ -139,14 +139,19 @@ def main():
     from cardiac_ablation_ecm2_tpu.fem.restriction import ElementRestriction
 
     big = dict(
-        Mrc_qd=op.Mrc_qd, Mw_qd=op.Mw_qd, K_qd=op.K_qd,
         b_const=op.b_const, Mrc_diag=op.Mrc_diag, A_diag=op.A_diag,
         ess_mask=op.ess_mask,
     )
     if isinstance(op.restr, ElementRestriction):
         big["restr"] = op.restr
-    if getattr(op, "_lane", None) is not None:
-        big.update(_qkT=op._qkT, _qmT=op._qmT, _qwT=op._qwT)
+    if getattr(op, "_aff", None) is not None:
+        # affine fast path: the step streams only the collapsed per-element
+        # factors; the full qdata never enters the traced step
+        big.update(_dm=op._dm, _dw=op._dw, _dk=op._dk)
+    else:
+        big.update(Mrc_qd=op.Mrc_qd, Mw_qd=op.Mw_qd, K_qd=op.K_qd)
+        if getattr(op, "_lane", None) is not None:
+            big.update(_qkT=op._qkT, _qmT=op._qmT, _qwT=op._qwT)
 
     @jax.jit
     def _step(T, t, dt, big):

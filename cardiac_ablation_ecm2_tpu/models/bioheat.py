@@ -213,15 +213,13 @@ class BioheatOperator:
             self.Mw_qd = _collapse_uniform(self.Mw_qd, axis=0)
             self.K_qd = _collapse_uniform(self.K_qd, axis=1)
 
-        if self.qdata_bf16:
-            self.K_qd = self.K_qd.astype(jnp.bfloat16)
-
         # transposed (lane-major) full-matrix apply via the shared
         # ops/lanemajor.py path — see _implicit_lhs_apply.  Collapsed qdata
         # broadcasts a (nq, 1) slice; general per-element qdata is
         # pre-transposed to (nq, ne) once at setup (same total bytes,
         # lane-major stream).  Covers tensor (hex/quad) AND simplex bases.
         self._lane = None
+        self._aff = None
         if self.transposed_apply and lanemajor.supports(
             self.db, self.K_qd, "diffusion"
         ):
@@ -229,6 +227,27 @@ class BioheatOperator:
             self._qkT = lanemajor.diffusion_qT(self.K_qd)    # (3|6, nq, ne|1)
             self._qmT = self.Mrc_qd.T                        # (nq, ne|1)
             self._qwT = self.Mw_qd.T
+            # affine fast path: on straight-sided meshes with per-element-
+            # constant coefficients every qdata separates as W ⊗ d[e]; the
+            # CG apply then streams 6·ne factors instead of 6·nq·ne qdata
+            # (27× less at p2/3D — THE dominant stream on unstructured
+            # meshes) and runs as one stacked reference-matrix matmul.
+            # Detected numerically; curved meshes keep the general path.
+            from ..utils.config import config as _cfg
+
+            W = self.db.W
+            aff_on = getattr(_cfg, "affine_collapse", "auto") != "off"
+            dk = lanemajor.separable_collapse(self._qkT, W) if aff_on else None
+            dm = lanemajor.separable_collapse(self._qmT, W) if aff_on else None
+            dw = lanemajor.separable_collapse(self._qwT, W) if aff_on else None
+            if dk is not None and dm is not None and dw is not None:
+                self._aff = lanemajor.affine_ops(self.db)
+                self._dk, self._dm, self._dw = dk, dm, dw
+
+        if self.qdata_bf16 and self._aff is None:
+            self.K_qd = self.K_qd.astype(jnp.bfloat16)
+            if self._lane is not None:
+                self._qkT = lanemajor.diffusion_qT(self.K_qd)
 
         if self.theta_form:
             # b_θ = b − A(T_a·1): constants are in K's kernel so this mostly
@@ -240,9 +259,21 @@ class BioheatOperator:
     def override(self, **kw) -> "BioheatOperator":
         """Shallow view with some fields (qdata/RHS/diagonals) replaced by
         traced values — the jit-safe analog of ex16's ``SetParameters(u)``
-        rebuild (``examples/ex16.cpp:291``).  Does NOT rerun __post_init__."""
+        rebuild (``examples/ex16.cpp:291``).  Does NOT rerun __post_init__,
+        but DOES refresh the lane-path caches (``_qkT``/``_qmT``/``_qwT``)
+        when their source qdata is overridden, and drops the affine collapse
+        (traced qdata can't be re-checked for separability)."""
         clone = object.__new__(type(self))
         clone.__dict__ = {**self.__dict__, **kw}
+        if self._lane is not None and kw.keys() & {"K_qd", "Mrc_qd", "Mw_qd"}:
+            if "K_qd" in kw and "_qkT" not in kw:
+                clone._qkT = lanemajor.diffusion_qT(clone.K_qd)
+            if "Mrc_qd" in kw and "_qmT" not in kw:
+                clone._qmT = clone.Mrc_qd.T
+            if "Mw_qd" in kw and "_qwT" not in kw:
+                clone._qwT = clone.Mw_qd.T
+            if not (kw.keys() & {"_dk", "_dm", "_dw"}):
+                clone._aff = None   # affine factors are stale
         return clone
 
     def _apply(self, qd_mass, qd_diff, v):
@@ -264,6 +295,12 @@ class BioheatOperator:
         Measured on v5e at 912k dofs: 1.38 → 0.84 ms/apply AND 10× lower
         fp error vs the f64 reference (full-width HIGHEST matmuls beat the
         staged einsum chain's accumulation)."""
+        if self._aff is not None:
+            eT = self.restr.mult_t(v)
+            yT = lanemajor.affine_mass_diffusion_apply(
+                self._aff, self._dm + gamma * self._dw, self._dk, eT, gamma,
+            )
+            return self.restr.mult_transpose_t(yT)
         if self._lane is not None:
             eT = self.restr.mult_t(v)                        # (nd, ne)
             yT = lanemajor.mass_diffusion_apply(
@@ -278,9 +315,19 @@ class BioheatOperator:
 
     def _A_apply(self, v):
         """(K_k + M_ω) v."""
+        if self._aff is not None:
+            eT = self.restr.mult_t(v)
+            yT = lanemajor.affine_mass_diffusion_apply(
+                self._aff, self._dw, self._dk, eT,
+            )
+            return self.restr.mult_transpose_t(yT)
         return self._apply(self.Mw_qd, self.K_qd, v)
 
     def _Mrc_apply(self, v):
+        if self._aff is not None:
+            eT = self.restr.mult_t(v)
+            yT = lanemajor.affine_mass_apply(self._aff, self._dm, eT)
+            return self.restr.mult_transpose_t(yT)
         e = self.restr.mult(v)
         return self.restr.mult_transpose(mass.apply(self.db, self.Mrc_qd, e))
 

@@ -80,11 +80,17 @@ class _BoundTerm:
 class _LaneGroup:
     """Domain terms fused into one lane-major pass (see ops/lanemajor.py):
     one L→E gather, all applies as (nq×nd)@(nd, ne) matmuls, one E→L
-    scatter.  ``terms`` hold setup-time-transposed qdata."""
+    scatter.  ``terms`` hold setup-time-transposed qdata; ``aff_terms``
+    hold affine-separable terms collapsed to per-element factors (the
+    qdata stream drops nq-fold and the apply becomes one stacked
+    reference-matrix matmul — detected numerically, curved meshes fall
+    back to ``terms``)."""
 
     lb: lanemajor.LaneBasis
     restr: ElementRestriction
     terms: Tuple[Tuple[str, jnp.ndarray], ...]
+    af: Optional[lanemajor.AffineOps] = None
+    aff_terms: Tuple[Tuple[str, jnp.ndarray], ...] = ()
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -110,7 +116,10 @@ class PAOperator:
         out = None
         if self.lane is not None:
             eT = self.lane.restr.mult_t(xl)              # (nd, ne)
-            yT = lanemajor.apply_terms(self.lane.lb, self.lane.terms, eT)
+            yT = lanemajor.apply_terms(
+                self.lane.lb, self.lane.terms, eT,
+                af=self.lane.af, aff_terms=self.lane.aff_terms,
+            )
             out = self.lane.restr.mult_transpose_t(yT)
         std = self.std_terms if self.lane is not None else self.terms
         for t in std:
@@ -294,7 +303,7 @@ def _build_lane_group(terms, bound, vdim):
 
     if getattr(config, "lane_major", "auto") == "off" or vdim > 1:
         return None, ()
-    lane_terms, std = [], []
+    lane_terms, aff_terms, std = [], [], []
     restr = db = None
     for t, bt in zip(terms, bound):
         ok = (
@@ -306,16 +315,21 @@ def _build_lane_group(terms, bound, vdim):
         )
         if ok:
             restr, db = bt.restr, bt.db
-            lane_terms.append(
-                (t.kind, lanemajor.transpose_qdata(t.kind, bt.qdata))
-            )
+            qT = lanemajor.transpose_qdata(t.kind, bt.qdata)
+            d = lanemajor.try_affine(t.kind, qT, bt.db)
+            if d is not None:
+                aff_terms.append((t.kind, d))
+            else:
+                lane_terms.append((t.kind, qT))
         else:
             std.append(bt)
-    if not lane_terms:
+    if not lane_terms and not aff_terms:
         return None, ()
     return (
         _LaneGroup(lb=lanemajor.lane_basis(db), restr=restr,
-                   terms=tuple(lane_terms)),
+                   terms=tuple(lane_terms),
+                   af=lanemajor.affine_ops(db) if aff_terms else None,
+                   aff_terms=tuple(aff_terms)),
         tuple(std),
     )
 

@@ -58,6 +58,13 @@ class Config:
     #: 128-lane axis — faster AND more accurate than the staged einsums);
     #: "off" forces the sum-factorized path.
     lane_major: str = "auto"
+    #: Affine separable-qdata collapse (ops/lanemajor.py): "auto" = detect
+    #: W⊗d-separable qdata (straight-sided elements, constant coefficients)
+    #: and apply via precomputed reference matrices — nq-fold less qdata
+    #: traffic; "off" keeps the per-qpt path (bit-identical to MFEM's PA
+    #: rounding — the CG-parity harness pins this, the refactored affine
+    #: sum order can legitimately shift iteration counts ±1 at 1e-12).
+    affine_collapse: str = "auto"
 
 
 config = Config()

@@ -32,8 +32,25 @@ GOLDEN = {
 }
 
 
+@pytest.fixture
+def _mfem_analog_path():
+    """Pin the per-qpt PA apply: MFEM streams per-quad-point qdata, and
+    exact iteration parity at rel_tol 1e-12 is a statement about matching
+    that rounding path bit-for-bit.  The affine separable-qdata collapse
+    (ops/lanemajor.py) refactors the same sums through precomputed
+    reference matrices — algebraically identical, but the different
+    association can legitimately shift a count by ±1 at the last bit
+    (observed: star.mesh p2 converges in 20 instead of 21)."""
+    from cardiac_ablation_ecm2_tpu.utils.config import config, configure
+
+    old = config.affine_collapse
+    configure(affine_collapse="off")
+    yield
+    configure(affine_collapse=old)
+
+
 @pytest.mark.parametrize("mf,order,refs", sorted(GOLDEN))
-def test_cg_iteration_parity(mf, order, refs):
+def test_cg_iteration_parity(mf, order, refs, _mfem_analog_path):
     ndof, iters = GOLDEN[(mf, order, refs)]
     m = read_mfem_mesh(f"{DATA}/{mf}")
     if refs:
@@ -42,3 +59,16 @@ def test_cg_iteration_parity(mf, order, refs):
     assert res.fes.ndof == ndof
     assert res.converged
     assert res.iterations == iters, (res.iterations, iters)
+
+
+def test_affine_path_iterations_within_one():
+    """The affine fast path may differ from the MFEM-rounding path by at
+    most one CG iteration on every parity config (same operator algebra)."""
+    for (mf, order, refs), (ndof, iters) in sorted(GOLDEN.items()):
+        m = read_mfem_mesh(f"{DATA}/{mf}")
+        if refs:
+            m = m.uniform_refinement(refs)
+        res = poisson.solve(m, order=order, rel_tol=1e-12, max_iter=4000)
+        assert res.converged
+        assert abs(res.iterations - iters) <= 1, (mf, order, refs,
+                                                  res.iterations, iters)

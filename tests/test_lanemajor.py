@@ -104,3 +104,123 @@ def test_bioheat_lane_on_tets():
     y1 = np.asarray(op._implicit_lhs_apply(0.3, v))
     y2 = np.asarray(op_ref._implicit_lhs_apply(0.3, v))
     assert np.abs(y1 - y2).max() <= 1e-11 * np.abs(y2).max()
+
+
+# ---------------------------------------------------------------------------
+# affine fast path (separable qdata → reference-matrix apply)
+# ---------------------------------------------------------------------------
+
+
+def _jitter_mesh(mesh, amp=0.08, seed=5):
+    """Randomly displace interior vertices — tets stay affine (straight),
+    hexes become genuinely trilinear (non-affine)."""
+    import dataclasses as dc
+
+    v = np.asarray(mesh.vertices).copy()
+    rng = np.random.default_rng(seed)
+    lo, hi = v.min(axis=0), v.max(axis=0)
+    interior = np.all((v > lo + 1e-12) & (v < hi - 1e-12), axis=1)
+    h = (hi - lo).max() / 4
+    v[interior] += amp * h * rng.uniform(-1, 1, size=v[interior].shape)
+    return dc.replace(mesh, vertices=v)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_affine_engages_on_random_tets(order):
+    """Jittered tet meshes are still affine: the collapse is detected and
+    the apply matches FULL assembly exactly."""
+    fes = FESpace(_jitter_mesh(_mesh(3, simplex=True)), order)
+    a = (BilinearForm(fes)
+         .add_domain_integrator("mass", coeff=2.0)
+         .add_domain_integrator("diffusion"))
+    A = a.assemble()
+    assert A.lane is not None
+    assert len(A.lane.aff_terms) == 2 and not A.lane.terms, (
+        "affine collapse not detected on a straight-sided tet mesh")
+    Afull = a.assemble_matrix()
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(fes.ndof)
+    y = np.asarray(A.mult(jnp.asarray(x)))
+    yref = Afull @ x
+    assert np.abs(y - yref).max() <= 1e-10 * np.abs(yref).max()
+
+
+def test_affine_falls_back_on_trilinear_hexes():
+    """Jittered hexes are NOT affine: detection must reject them and the
+    general lane path must still match FULL assembly."""
+    fes = FESpace(_jitter_mesh(_mesh(3)), 2)
+    a = BilinearForm(fes).add_domain_integrator("diffusion")
+    A = a.assemble()
+    assert A.lane is not None
+    assert not A.lane.aff_terms and len(A.lane.terms) == 1, (
+        "affine collapse wrongly engaged on a non-affine mesh")
+    Afull = a.assemble_matrix()
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(fes.ndof)
+    y = np.asarray(A.mult(jnp.asarray(x)))
+    yref = Afull @ x
+    assert np.abs(y - yref).max() <= 1e-10 * np.abs(yref).max()
+
+
+def test_affine_rejects_varying_coefficient():
+    """A spatially varying coefficient breaks separability — must fall back."""
+    fes = FESpace(_mesh(3, simplex=True), 2)
+    a = BilinearForm(fes).add_domain_integrator(
+        "diffusion", coeff=lambda x: 1.0 + x[..., 0])
+    A = a.assemble()
+    assert A.lane is not None and not A.lane.aff_terms
+    Afull = a.assemble_matrix()
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal(fes.ndof)
+    y = np.asarray(A.mult(jnp.asarray(x)))
+    yref = Afull @ x
+    assert np.abs(y - yref).max() <= 1e-10 * np.abs(yref).max()
+
+
+def test_bioheat_affine_on_tets():
+    """Bioheat engages the affine path on tets; applies match the staged
+    path; perfusion + gamma folding included."""
+    from cardiac_ablation_ecm2_tpu.models.bioheat import BioheatOperator
+
+    fes = FESpace(_jitter_mesh(_mesh(3, simplex=True)), 2)
+    kw = dict(rho_c=2.0, k=0.7, w_cb=3.0, T_a=37.0,
+              ess_bdr=[1, 2, 3, 4, 5, 6])
+    op = BioheatOperator(fes, **kw)
+    assert op._aff is not None
+    op_ref = BioheatOperator(fes, **kw, transposed_apply=False)
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal(fes.ndof))
+    for g in (0.0, 0.31):
+        y1 = np.asarray(op._implicit_lhs_apply(g, v))
+        y2 = np.asarray(op_ref._implicit_lhs_apply(g, v))
+        assert np.abs(y1 - y2).max() <= 1e-11 * np.abs(y2).max()
+    yA1 = np.asarray(op._A_apply(v))
+    yA2 = np.asarray(op_ref._A_apply(v))
+    assert np.abs(yA1 - yA2).max() <= 1e-11 * np.abs(yA2).max()
+    yM1 = np.asarray(op._Mrc_apply(v))
+    yM2 = np.asarray(op_ref._Mrc_apply(v))
+    assert np.abs(yM1 - yM2).max() <= 1e-11 * np.abs(yM2).max()
+
+
+def test_override_qdata_refreshes_lane_caches():
+    """override(K_qd=...) must take effect under the lane/affine paths (the
+    k(T)-coupled ablation step depends on this)."""
+    from cardiac_ablation_ecm2_tpu.models.bioheat import BioheatOperator
+
+    fes = FESpace(_mesh(3, simplex=True), 2)
+    op = BioheatOperator(fes, rho_c=1.0, k=1.0, ess_bdr=[1, 2, 3, 4, 5, 6])
+    assert op._lane is not None
+    rng = np.random.default_rng(9)
+    v = jnp.asarray(rng.standard_normal(fes.ndof))
+    y1 = np.asarray(op._implicit_lhs_apply(0.5, v))
+    # doubled conductivity through override — must change the result by
+    # exactly the K contribution
+    op2 = op.override(K_qd=2.0 * op.K_qd)
+    assert op2._aff is None
+    y2 = np.asarray(op2._implicit_lhs_apply(0.5, v))
+    ref = BioheatOperator(fes, rho_c=1.0, k=2.0,
+                          ess_bdr=[1, 2, 3, 4, 5, 6],
+                          transposed_apply=False)
+    yref = np.asarray(ref._implicit_lhs_apply(0.5, v))
+    assert np.abs(y2 - yref).max() <= 1e-11 * np.abs(yref).max()
+    assert np.abs(y2 - y1).max() > 1e-6 * np.abs(y1).max()
