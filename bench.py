@@ -70,16 +70,36 @@ def main():
     mesh_kind = os.environ.get("BENCH_MESH", "cartesian")
     cardiac = mesh_kind.startswith("cardiac")
     unstructured = cardiac or os.environ.get("BENCH_UNSTRUCTURED", "0") == "1"
+    def _cached_cardiac(maker):
+        # the meshes are deterministic (seed=0); cache to skip the ~2-10 min
+        # Delaunay/numbering rebuild between bench attempts at n=66
+        import numpy as _np
+
+        from cardiac_ablation_ecm2_tpu.mesh.mesh import Mesh
+
+        path = f"/tmp/bench_mesh_{mesh_kind}_{n}.npz"
+        if os.path.exists(path):
+            z = _np.load(path)
+            from cardiac_ablation_ecm2_tpu.fem.geometry import Geometry
+
+            return Mesh(geom=Geometry(int(z["geom"])), vertices=z["vertices"],
+                        elements=z["elements"], attributes=z["attributes"],
+                        boundary=z["boundary"],
+                        bdr_attributes=z["bdr_attributes"])
+        m = maker(n, lengths=(L, L, L / 2), electrode_radius=0.004)
+        _np.savez(path, geom=int(m.geom), vertices=m.vertices,
+                  elements=m.elements, attributes=m.attributes,
+                  boundary=m.boundary, bdr_attributes=m.bdr_attributes)
+        return m
+
     if mesh_kind == "cardiac-tet":
         from cardiac_ablation_ecm2_tpu.mesh.cardiac import make_cardiac_tet_mesh
 
-        mesh = make_cardiac_tet_mesh(
-            n, lengths=(L, L, L / 2), electrode_radius=0.004)
+        mesh = _cached_cardiac(make_cardiac_tet_mesh)
     elif mesh_kind == "cardiac-hex":
         from cardiac_ablation_ecm2_tpu.mesh.cardiac import make_cardiac_hex_mesh
 
-        mesh = make_cardiac_hex_mesh(
-            n, lengths=(L, L, L / 2), electrode_radius=0.004)
+        mesh = _cached_cardiac(make_cardiac_hex_mesh)
     else:
         mesh = make_cartesian_3d(n, n, n, L, L, L)
     if unstructured:
@@ -164,6 +184,14 @@ def main():
     T = jnp.zeros(fes.ndof, dtype=jnp.dtype(dtype))
     t, dt = jnp.asarray(0.0, T.dtype), jnp.asarray(0.25, T.dtype)
 
+    # BENCH_SYNC_STEPS=1: block after every step instead of chaining the
+    # whole timing loop.  The axon tunnel aborts on several queued ~100 ms
+    # dispatches at the 1M-element scale (observed 2026-08-17 at n=66:
+    # warmup fine, chained loop dies with "TPU device error"); per-step
+    # sync is honest — it *includes* the sync overhead, so the recorded
+    # time is an upper bound.
+    sync_steps = os.environ.get("BENCH_SYNC_STEPS", "0") == "1"
+
     # warmup / compile
     T1, t1 = step(T, t, dt)
     jax.block_until_ready(T1)
@@ -172,6 +200,8 @@ def main():
     Tc, tc = T1, t1
     for _ in range(steps):
         Tc, tc = step(Tc, tc, dt)
+        if sync_steps:
+            jax.block_until_ready(Tc)
     jax.block_until_ready(Tc)
     wall = time.perf_counter() - t0
     per_step = wall / steps
@@ -182,6 +212,8 @@ def main():
     t0 = time.perf_counter()
     for _ in range(2 * steps):
         Tc, tc = step(Tc, tc, dt)
+        if sync_steps:
+            jax.block_until_ready(Tc)
     jax.block_until_ready(Tc)
     wall2 = time.perf_counter() - t0
     scale_ok = 1.2 < wall2 / max(wall, 1e-12) < 3.3

@@ -273,6 +273,10 @@ def make_dof_to_quad(
             from .pyramid2 import pyramid_p2_basis_matrices
 
             B, G = pyramid_p2_basis_matrices(pts)
+        elif p == 3:
+            from .pyramid3 import pyramid_p3_basis_matrices
+
+            B, G = pyramid_p3_basis_matrices(pts)
         else:
             B, G = pyramid_basis_matrices(p, pts)
         return DofToQuad(

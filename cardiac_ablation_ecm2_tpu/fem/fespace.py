@@ -88,6 +88,8 @@ def _elem_node_keys(geom: Geometry, p: int, elem_verts: np.ndarray,
     """
     if geom == Geometry.PYRAMID and p == 2:
         return _pyramid_p2_keys(elem_verts)
+    if geom == Geometry.PYRAMID and p == 3:
+        return _pyramid_p3_keys(elem_verts, elem_ids)
     dim = DIMENSION[geom]
     nd = len(lattice_multi_index(geom, p))
     ne = elem_verts.shape[0]
@@ -204,6 +206,57 @@ def _pyramid_p2_keys(elem_verts: np.ndarray) -> np.ndarray:
     gf = elem_verts[:, list(base)]
     keys[:, 13, 0:4] = np.sort(gf, axis=1)
     keys[:, 13, 4] = _meta(_FACE, 1, 1)       # quad center: frame-free
+    return keys
+
+
+def _pyramid_p3_keys(elem_verts: np.ndarray,
+                     elem_ids: np.ndarray) -> np.ndarray:
+    """Entity keys for the 30-node order-3 pyramid (fem/pyramid3.py node
+    order: 5 vertices, 8 edges × 2 GLL nodes, 4 tri-face centroids, 4 quad-
+    base GLL² nodes, 1 cell node) — same canonical edge/face code
+    conventions as the generic lattice path, so mixed meshes share
+    oriented dofs across hex/tet/pyramid blocks."""
+    p = 3
+    ne = elem_verts.shape[0]
+    keys = np.empty((ne, 30, _KEYLEN), dtype=np.int64)
+    keys[..., :4] = -1
+    for lv in range(5):
+        keys[:, lv, 0] = elem_verts[:, lv]
+        keys[:, lv, 4] = _meta(_VERT)
+    for k, (la, lb) in enumerate(EDGES[Geometry.PYRAMID]):
+        ga, gb = elem_verts[:, la], elem_verts[:, lb]
+        lo, hi = np.minimum(ga, gb), np.maximum(ga, gb)
+        flip = ga > gb
+        for t in (1, 2):                       # node at GLL t counted from la
+            n = 5 + 2 * k + (t - 1)
+            keys[:, n, 0] = lo
+            keys[:, n, 1] = hi
+            keys[:, n, 4] = _meta_arr(_EDGE, np.where(flip, p - t, t))
+    for i, f in enumerate(FACES[Geometry.PYRAMID][1:]):
+        n = 21 + i                             # centroid (1,1,1): frame-free
+        keys[:, n, 0:3] = np.sort(elem_verts[:, list(f)], axis=1)
+        keys[:, n, 4] = _meta(_FACE, 1, 1)
+    fverts = FACES[Geometry.PYRAMID][0]
+    gf = elem_verts[:, list(fverts)]
+    gsort = np.sort(gf, axis=1)
+    r = np.argmin(gf, axis=1)
+    nxt = gf[np.arange(ne), (r + 1) % 4]
+    prv = gf[np.arange(ne), (r - 1) % 4]
+    d = np.where(nxt < prv, 1, -1)
+    corner_uv = np.array([[0, 0], [p, 0], [p, p], [0, p]])
+    cr = corner_uv[r]
+    eu = (corner_uv[(r + d) % 4] - cr) // p
+    ev = (corner_uv[(r - d) % 4] - cr) // p
+    for v in (1, 2):                           # node order (1,1),(2,1),(1,2),(2,2)
+        for u in (1, 2):
+            n = 25 + (v - 1) * 2 + (u - 1)
+            rel = np.array([u, v]) - cr
+            a = (rel * eu).sum(axis=1)
+            b = (rel * ev).sum(axis=1)
+            keys[:, n, 0:4] = gsort
+            keys[:, n, 4] = _meta_arr(_FACE, a, b)
+    keys[:, 29, 0] = elem_ids
+    keys[:, 29, 4] = _meta(_CELL, 1, 1, 1)
     return keys
 
 
@@ -375,11 +428,17 @@ def element_node_coords(mesh: Mesh, p: int) -> np.ndarray:
         B = _eval_volume_basis(geom, q, ref)          # (nd_p, nd_q)
         return np.einsum("pn,ens->eps", B, mesh.nodes)
     geom = mesh.geom
-    if geom == Geometry.PYRAMID and p == 2:
+    if geom == Geometry.PYRAMID and p in (2, 3):
         from .basis import pyramid_basis_matrices
         from .pyramid2 import PYRAMID_P2_NODES, _nudge_apex
 
-        B = pyramid_basis_matrices(1, _nudge_apex(PYRAMID_P2_NODES))[0]
+        if p == 2:
+            nds = PYRAMID_P2_NODES
+        else:
+            from .pyramid3 import PYRAMID_P3_NODES
+
+            nds = PYRAMID_P3_NODES
+        B = pyramid_basis_matrices(1, _nudge_apex(nds))[0]
         V = mesh.vertices[mesh.elements]
         return np.matmul(B[None, :, :], V)
     ref = h1_nodes(geom, p)                       # (nd, dim)

@@ -232,14 +232,38 @@ class BioheatOperator:
             # CG apply then streams 6·ne factors instead of 6·nq·ne qdata
             # (27× less at p2/3D — THE dominant stream on unstructured
             # meshes) and runs as one stacked reference-matrix matmul.
-            # Detected numerically; curved meshes keep the general path.
+            # Two detectors: (1) geometric — straight-simplex meshes with
+            # constant scalar coefficients are affine BY CONSTRUCTION, so
+            # the factors are computed on the host in f64 from the vertices
+            # (f32 qdata on sliver tets carries ~1e-3 adjugate roundoff
+            # that defeats any numerical check — measured on the cardiac
+            # Delaunay mesh); (2) numerical — catches lattice hexes etc.
+            # Curved meshes keep the general path.
             from ..utils.config import config as _cfg
 
-            W = self.db.W
             aff_on = getattr(_cfg, "affine_collapse", "auto") != "off"
-            dk = lanemajor.separable_collapse(self._qkT, W) if aff_on else None
-            dm = lanemajor.separable_collapse(self._qmT, W) if aff_on else None
-            dw = lanemajor.separable_collapse(self._qwT, W) if aff_on else None
+            dk = dm = dw = None
+            if aff_on and all(
+                not callable(c) and np.ndim(c) == 0
+                for c in (self.rho_c, self.k, self.w_cb)
+            ):
+                from ..fem.geom_factors import (
+                    affine_element_jacobians,
+                    affine_packed_factors,
+                )
+
+                J = affine_element_jacobians(fes.mesh)
+                if J is not None:
+                    det, dkf = affine_packed_factors(J)
+                    rt = real_t(self.dtype)
+                    dk = jnp.asarray(float(self.k) * dkf, rt)
+                    dm = jnp.asarray(float(self.rho_c) * det, rt)
+                    dw = jnp.asarray(float(self.w_cb) * det, rt)
+            if dk is None and aff_on:
+                W = self.db.W
+                dk = lanemajor.separable_collapse(self._qkT, W)
+                dm = lanemajor.separable_collapse(self._qmT, W)
+                dw = lanemajor.separable_collapse(self._qwT, W)
             if dk is not None and dm is not None and dw is not None:
                 self._aff = lanemajor.affine_ops(self.db)
                 self._dk, self._dm, self._dw = dk, dm, dw

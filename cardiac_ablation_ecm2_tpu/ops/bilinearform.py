@@ -233,7 +233,7 @@ class BilinearForm:
                 else:
                     qd = mod.setup(gf, eval_coeff(t.coeff, gf, dtype))
             bound.append(_BoundTerm(mod=mod, qdata=qd, restr=restr, db=db))
-        lane, std = _build_lane_group(self._terms, bound, fes.vdim)
+        lane, std = _build_lane_group(self._terms, bound, fes.vdim, fes)
         return PAOperator(
             terms=tuple(bound), ndof=fes.ndof_scalar, vdim=fes.vdim,
             lane=lane, std_terms=std,
@@ -293,16 +293,61 @@ class BilinearForm:
         return A
 
 
-def _build_lane_group(terms, bound, vdim):
+def _geom_affine_term(t: _Term, geo, dt):
+    """Affine factors for one term from host-f64 geometry, or None.
+    Needs constant scalar ``coeff`` (constant vector for convection)."""
+    det, dk, adj = geo
+    c = t.coeff
+    if c is None:
+        cs = 1.0
+    elif not callable(c) and np.ndim(c) == 0:
+        cs = float(c)
+    else:
+        return None
+    if t.kind == "mass" and t.vector_coeff is None:
+        return jnp.asarray(cs * det, dt)[None, :]
+    if t.kind == "diffusion" and t.vector_coeff is None:
+        return jnp.asarray(cs * dk, dt)
+    if t.kind == "convection" and t.vector_coeff is not None:
+        v = t.vector_coeff
+        if callable(v):
+            return None
+        v = np.asarray(v, np.float64)
+        if v.ndim != 1:
+            return None
+        # (v·∇u, w): qdata = w_q ⊗ (adj(J) v) per element
+        return jnp.asarray(cs * np.einsum("eds,s->de", adj, v), dt)
+    return None
+
+
+def _build_lane_group(terms, bound, vdim, fes=None):
     """Partition assembled terms into a fused lane-major group + fallbacks.
 
     Eligible: scalar (vdim=1) domain mass/diffusion/convection terms sharing
     one restriction and basis, with lane-supported qdata layouts, under the
-    ``config.lane_major`` knob ("auto" enables whenever supported)."""
+    ``config.lane_major`` knob ("auto" enables whenever supported).
+
+    Affine-separable terms collapse further (see ops/lanemajor.py): on
+    straight-simplex meshes with constant coefficients the factors come
+    from host-f64 geometry (f32 qdata on sliver elements carries ~1e-3
+    adjugate roundoff that defeats the numerical check); elsewhere the
+    numerical W⊗d detector catches lattice hexes and f64 runs."""
     from ..utils.config import config
 
     if getattr(config, "lane_major", "auto") == "off" or vdim > 1:
         return None, ()
+    geo = None
+    if fes is not None and getattr(config, "affine_collapse", "auto") != "off":
+        from ..fem.geom_factors import (
+            _np_det_adj,
+            affine_element_jacobians,
+            affine_packed_factors,
+        )
+
+        J = affine_element_jacobians(fes.mesh)
+        if J is not None:
+            det, dk = affine_packed_factors(J)
+            geo = (det, dk, _np_det_adj(J)[1])
     lane_terms, aff_terms, std = [], [], []
     restr = db = None
     for t, bt in zip(terms, bound):
@@ -315,8 +360,12 @@ def _build_lane_group(terms, bound, vdim):
         )
         if ok:
             restr, db = bt.restr, bt.db
-            qT = lanemajor.transpose_qdata(t.kind, bt.qdata)
-            d = lanemajor.try_affine(t.kind, qT, bt.db)
+            d = _geom_affine_term(t, geo, bt.qdata.dtype) \
+                if geo is not None else None
+            qT = None
+            if d is None:
+                qT = lanemajor.transpose_qdata(t.kind, bt.qdata)
+                d = lanemajor.try_affine(t.kind, qT, bt.db)
             if d is not None:
                 aff_terms.append((t.kind, d))
             else:

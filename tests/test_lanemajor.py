@@ -202,6 +202,63 @@ def test_bioheat_affine_on_tets():
     assert np.abs(yM1 - yM2).max() <= 1e-11 * np.abs(yM2).max()
 
 
+def test_geometric_affine_on_f32_sliver_tets():
+    """f32 qdata on bad-quality tets carries ~1e-3 adjugate roundoff, so
+    NUMERICAL separability detection fails — but straight tets are affine
+    by construction and the host-f64 geometric detector must engage (this
+    is exactly the cardiac Delaunay production case)."""
+    from cardiac_ablation_ecm2_tpu.mesh.cardiac import make_cardiac_tet_mesh
+    from cardiac_ablation_ecm2_tpu.models.bioheat import BioheatOperator
+
+    old = config.dtype
+    try:
+        configure(dtype="float32")
+        L = 0.04
+        mesh = make_cardiac_tet_mesh(8, lengths=(L, L, L / 2),
+                                     electrode_radius=0.004)
+        fes = FESpace(mesh, 2)
+        op = BioheatOperator(fes, rho_c=3.6e6, k=0.54, w_cb=2e4,
+                             ess_bdr=[1, 2, 3], dtype="float32")
+        assert op._aff is not None, (
+            "geometric affine detection failed on a straight-tet mesh")
+        op_ref = BioheatOperator(fes, rho_c=3.6e6, k=0.54, w_cb=2e4,
+                                 ess_bdr=[1, 2, 3], dtype="float32",
+                                 transposed_apply=False)
+        rng = np.random.default_rng(4)
+        v = jnp.asarray(rng.standard_normal(fes.ndof), jnp.float32)
+        y1 = np.asarray(op._implicit_lhs_apply(0.25, v))
+        y2 = np.asarray(op_ref._implicit_lhs_apply(0.25, v))
+        # f64-geometry factors vs f32 qdata chain: agreement at f32 level
+        assert np.abs(y1 - y2).max() <= 2e-5 * np.abs(y2).max()
+
+        # BilinearForm takes the geometric path on the same mesh
+        a = (BilinearForm(fes)
+             .add_domain_integrator("mass")
+             .add_domain_integrator("diffusion"))
+        A = a.assemble(dtype="float32")
+        assert A.lane is not None and len(A.lane.aff_terms) == 2
+    finally:
+        configure(dtype=old)
+
+
+def test_affine_convection_constant_vector():
+    """Constant-velocity convection on straight simplices collapses to
+    adj(J)·v factors; must match FULL assembly."""
+    for dim in (2, 3):
+        fes = FESpace(_jitter_mesh(_mesh(dim, simplex=True)), 2)
+        vel = [1.3, -0.7, 0.4][:dim]
+        a = BilinearForm(fes).add_domain_integrator(
+            "convection", vector_coeff=np.asarray(vel))
+        A = a.assemble()
+        assert A.lane is not None and len(A.lane.aff_terms) == 1, dim
+        Afull = a.assemble_matrix()
+        rng = np.random.default_rng(dim)
+        x = rng.standard_normal(fes.ndof)
+        y = np.asarray(A.mult(jnp.asarray(x)))
+        yref = Afull @ x
+        assert np.abs(y - yref).max() <= 1e-10 * np.abs(yref).max(), dim
+
+
 def test_override_qdata_refreshes_lane_caches():
     """override(K_qd=...) must take effect under the lane/affine paths (the
     k(T)-coupled ablation step depends on this)."""

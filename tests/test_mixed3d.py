@@ -121,6 +121,55 @@ def test_order2_poisson_convergence():
     assert np.log2(e1 / e2) > 2.5, (e1, e2)
 
 
+def test_order3_conformity_and_cubic_energy():
+    """Order-3 mixed cube: the 30-node pyramid's Q3 base / P3 tri traces
+    (fem/pyramid3.py) conform exactly against hex Q3 and tet P3 neighbors.
+    Reference analog: order-p Fuentes-Keith pyramids, fem/fe/fe_pyramid.cpp."""
+    mm = make_mixed_cube(2)
+    fes = MixedFESpace(mm, 3)
+    A = MixedPAOperator(fes, diffusion_coeff=1.0)
+    X = fes.dof_coords
+    lin = jnp.asarray(1.0 + 2 * X[:, 0] - X[:, 1] + 0.5 * X[:, 2])
+    r = np.asarray(A.mult(lin))
+    ess = fes.essential_dofs()
+    mask = np.ones(fes.ndof, bool)
+    mask[ess] = False
+    assert np.abs(r[mask]).max() < 1e-9
+    u = jnp.asarray(X[:, 0] ** 2 + X[:, 1] ** 2 + X[:, 2] ** 2)
+    assert np.isclose(float(u @ A.mult(u)), 4.0, rtol=1e-11)
+    # cubic: u = x³ → ∫|∇u|² = ∫ 9x⁴ = 9/5, exact only if every block
+    # (incl. the rational pyramid space ⊇ P₃) represents cubics
+    u3 = jnp.asarray(X[:, 0] ** 3)
+    assert np.isclose(float(u3 @ A.mult(u3)), 1.8, rtol=1e-11)
+
+
+def test_order3_poisson_convergence():
+    """O(h⁴) L2-ish nodal convergence on the order-3 mixed cube."""
+    exact = lambda x: np.prod(np.sin(np.pi * np.asarray(x)), axis=-1)
+
+    def solve(n):
+        mm = make_mixed_cube(n)
+        fes = MixedFESpace(mm, 3)
+        A = MixedPAOperator(fes, diffusion_coeff=1.0)
+        M = MixedPAOperator(fes, mass_coeff=1.0)
+        X = fes.dof_coords
+        u_ex = jnp.asarray(exact(X))
+        ess = fes.essential_dofs()
+        m = jnp.ones(fes.ndof).at[jnp.asarray(ess)].set(0.0)
+        b = 3 * np.pi ** 2 * M.mult(u_ex)
+        Ac = lambda v: A.mult(v * m) * m + v * (1 - m)
+        d = A.diagonal() * m + (1 - m)
+        u, info = cg(Ac, b * m, M=lambda r: r / d, rel_tol=1e-12,
+                     max_iter=6000)
+        assert bool(info.converged)
+        return float(jnp.abs(u - u_ex).max())
+
+    e1, e2 = solve(2), solve(4)
+    # nodal max-error rate between n=2 and n=4 is pre-asymptotic
+    # (measured 3.26); design L2 rate is 4
+    assert np.log2(e1 / e2) > 3.0, (e1, e2)
+
+
 def test_order2_hex_wedge_conformity():
     """Hex + wedge order-2 blocks conform through the generic entity keys
     (wedge quad-face traces are GLL⊗GLL, matching hex Q2 faces)."""
