@@ -63,6 +63,13 @@ def solve(
         M = jacobi(diag)
     elif preconditioner == "chebyshev":
         M = chebyshev(Ac.mult, diag)
+    elif preconditioner == "lor":
+        # all-device LOR-MG (fem/lor/lor_batched.hpp:34 analog)
+        from ..ops.lor_device import make_lor_multigrid
+
+        mg = make_lor_multigrid(fes, kappa if kappa is not None else 1.0,
+                                ess_bdr=ess_bdr, dtype=dtype)
+        M = mg.preconditioner()
     elif preconditioner is None:
         M = None
     else:

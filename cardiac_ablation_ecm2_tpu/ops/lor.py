@@ -23,14 +23,12 @@ from ..fem.geom_factors import adjugate, compute_geometric_factors
 from ..fem.fespace import element_node_coords
 
 
-def lor_submesh_connectivity(fes) -> np.ndarray:
-    """(ne·p^dim, 2^dim) sub-element connectivity in HIGH-ORDER dof ids.
+def lor_corner_slots(geom, p: int) -> np.ndarray:
+    """(p^dim, 2^dim) per-element lattice slots of every LOR sub-element.
 
     Corner order is the LEX lattice order of ``make_dof_to_quad(geom, 1)``
     (i fastest), matching the Q1 element matrices — not the MFEM cyclic
     vertex order."""
-    mesh, p = fes.mesh, fes.order
-    geom = mesh.geom
     dim = DIMENSION[geom]
     assert geom in (Geometry.SQUARE, Geometry.CUBE), "LOR: tensor meshes"
     mi = lattice_multi_index(geom, p)
@@ -56,7 +54,12 @@ def lor_submesh_connectivity(fes) -> np.ndarray:
                         lookup[(i, j + 1, k + 1)],
                         lookup[(i + 1, j + 1, k + 1)],
                     ])
-    corners = np.array(corners, dtype=np.int64)           # (nsub, 2^dim)
+    return np.array(corners, dtype=np.int64)              # (p^dim, 2^dim)
+
+
+def lor_submesh_connectivity(fes) -> np.ndarray:
+    """(ne·p^dim, 2^dim) sub-element connectivity in HIGH-ORDER dof ids."""
+    corners = lor_corner_slots(fes.mesh.geom, fes.order)
     gm = fes.gather_map.astype(np.int64)                  # (ne, nd)
     return gm[:, corners].reshape(-1, corners.shape[1])
 
@@ -69,34 +72,12 @@ def lor_matrix(fes, diffusion_coeff=1.0, mass_coeff=None):
     geom = mesh.geom
     conn = lor_submesh_connectivity(fes)                  # (nsub, nv)
     X = element_node_coords(mesh, p)                      # (ne, nd, sdim)
-    mi = lattice_multi_index(geom, p)
-    lookup = {tuple(r): i for i, r in enumerate(mi)}
     dim = DIMENSION[geom]
     nsub_per = p ** dim
     ne = mesh.ne
     d2q1 = make_dof_to_quad(geom, 1, 2)
     # sub-element corner slots in the per-element lattice (same order as conn)
-    corners = []
-    rng = range(p)
-    if dim == 2:
-        for j in rng:
-            for i in rng:
-                corners.append([
-                    lookup[(i, j)], lookup[(i + 1, j)],
-                    lookup[(i, j + 1)], lookup[(i + 1, j + 1)],
-                ])
-    else:
-        for k in rng:
-            for j in rng:
-                for i in rng:
-                    corners.append([
-                        lookup[(i, j, k)], lookup[(i + 1, j, k)],
-                        lookup[(i, j + 1, k)], lookup[(i + 1, j + 1, k)],
-                        lookup[(i, j, k + 1)], lookup[(i + 1, j, k + 1)],
-                        lookup[(i, j + 1, k + 1)],
-                        lookup[(i + 1, j + 1, k + 1)],
-                    ])
-    corners = np.array(corners, dtype=np.int64)
+    corners = lor_corner_slots(geom, p)
     Xc = X[:, corners, :].reshape(ne * nsub_per, corners.shape[1], -1)
     gf = compute_geometric_factors(Xc, d2q1, dtype="float64")
     B = d2q1.full_B()

@@ -118,6 +118,30 @@ def setup(
     ))
 
     pmg_ctx = None
+    lor_Ae = lor_slots = None
+    if precond == "lor":
+        # all-device LOR-MG (fem/lor/lor_batched.hpp:34 + lor.hpp:201
+        # analog): batched LOR element matrices stacked per device (pad
+        # elements zeroed) feed a V-cycle whose fine level is the LOR
+        # operator on the order-p lattice and whose coarse level is the
+        # order-1 space on the original mesh
+        from ..fem.geometry import DIMENSION
+        from ..ops.lor import lor_corner_slots
+        from ..ops.lor_device import lor_element_matrices
+        from . import pmg as pmg_mod
+
+        assert order >= 2, "LOR preconditioning needs order >= 2"
+        pmg_ctx = pmg_mod.build_coarse_levels(fes, pf, [1], ess_bdr, dtype)
+        Ae, _ = lor_element_matrices(
+            fes, kappa if kappa is not None else 1.0, None, dtype)
+        nsub_per = order ** DIMENSION[mesh.geom]
+        nv = Ae.shape[-1]
+        Ae = Ae.reshape(mesh.ne, nsub_per, nv, nv)
+        lor_Ae = (Ae[jnp.asarray(pf.elems)]
+                  * jnp.asarray(pf.elem_weight, real_t(dtype))[
+                      :, :, None, None, None])
+        lor_Ae = lor_Ae.reshape(pf.ndev, -1, nv, nv)
+        lor_slots = lor_corner_slots(mesh.geom, order)
     if precond == "pmg":
         from . import pmg as pmg_mod
 
@@ -188,6 +212,45 @@ def setup(
 
             fine_level = dict(
                 A=A, diag=dg, gather=g, scat_perm=pm, scat_seg=sg,
+                send_idx=sd, perms=perms, nloc=nloc, emask=emask,
+                pdot=pdot, loc2glob=l2gj[lax.axis_index(pops.AXIS)],
+                dof_weight=w_dof, elem_weight=w_el,
+            )
+            M = pmg_mod.inshard_vcycle(
+                pmg_ctx, axis_name=pops.AXIS, fine=fine_level,
+                qdata_fn=qd_fn, smoother_order=cheb_order - 1,
+                power_iters=cheb_power_iters,
+            )
+        elif precond == "lor":
+            from . import pmg as pmg_mod
+
+            Ae_l = lor_Ae[lax.axis_index(pops.AXIS)]     # (nsub_loc, nv, nv)
+            g_lor = g[:, lor_slots].reshape(-1, lor_slots.shape[1])
+
+            def A_lor(v):
+                z = v * emask
+                e = z[g_lor]
+                y = jnp.zeros(nloc + 1, rt).at[g_lor].add(
+                    jnp.einsum("snm,sm->sn", Ae_l, e))
+                y = pops.halo_sum(y, sd, perms, nloc)
+                return y * emask + (v - z)
+
+            d_lor = jnp.zeros(nloc + 1, rt).at[g_lor].add(
+                jnp.diagonal(Ae_l, axis1=1, axis2=2))
+            d_lor = pops.halo_sum(d_lor, sd, perms, nloc)
+            d_lor = d_lor * emask + (1.0 - emask)
+            d_lor = d_lor.at[nloc].set(1.0)
+            d_lor = jnp.where(d_lor == 0.0, 1.0, d_lor)
+
+            def qd_fn(gf_l, li, db_l):
+                kq_l = None if kappa is None else kappa(gf_l.x).astype(rt)
+                return None, (
+                    diffusion_mod.setup(gf_l, kq_l)
+                    * w_el[:, None, None, None]
+                )
+
+            fine_level = dict(
+                A=A_lor, diag=d_lor, gather=g, scat_perm=pm, scat_seg=sg,
                 send_idx=sd, perms=perms, nloc=nloc, emask=emask,
                 pdot=pdot, loc2glob=l2gj[lax.axis_index(pops.AXIS)],
                 dof_weight=w_dof, elem_weight=w_el,

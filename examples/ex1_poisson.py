@@ -9,7 +9,7 @@ from common import load_mesh, maybe_vtu, setup_jax, standard_parser
 def main():
     ap = standard_parser("Poisson: -div(grad u) = 1, u=0 on boundary")
     ap.add_argument("--prec", default="jacobi",
-                    choices=["jacobi", "chebyshev", "none"])
+                    choices=["jacobi", "chebyshev", "lor", "none"])
     ap.add_argument("--tol", type=float, default=1e-10)
     args = ap.parse_args()
     setup_jax(args)
