@@ -191,7 +191,11 @@ def build_nd_operator(
             Cphys = jnp.broadcast_to(
                 Cphys, (mesh.ne,) + Cref.shape
             )
-            qd = curlcurl_coeff * gf.wdet   # 2D: scalar curl channel
+            # 2D: the curl is a scalar channel → scalar coefficient only
+            if callable(curlcurl_coeff):
+                qd = jnp.asarray(curlcurl_coeff(gf.x), rt) * gf.wdet
+            else:
+                qd = float(curlcurl_coeff) * gf.wdet
         terms.append(("curlcurl", qd, Cphys))
     return _make_op(space, terms, gf, rt)
 
@@ -251,7 +255,12 @@ def build_rt_operator(
     if divdiv_coeff is not None:
         Dphys = (jnp.asarray(Dref, rt)[None] / det[..., None])[..., None]
         Dphys = jnp.broadcast_to(Dphys, (mesh.ne,) + Dref.shape + (1,))
-        qd = divdiv_coeff * gf.wdet
+        # div u is a scalar channel, so DivDivIntegrator takes a (possibly
+        # spatially varying) scalar coefficient (fem/bilininteg.hpp:3130)
+        if callable(divdiv_coeff):
+            qd = jnp.asarray(divdiv_coeff(gf.x), rt) * gf.wdet
+        else:
+            qd = float(divdiv_coeff) * gf.wdet
         terms.append(("divdiv", qd, Dphys))
     return _make_op(space, terms, gf, rt)
 

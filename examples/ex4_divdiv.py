@@ -10,6 +10,8 @@ from common import setup_jax, standard_parser
 def main():
     ap = standard_parser("H(div) div-div + mass on RT_k (ex4 analog)")
     ap.add_argument("-n", type=int, default=4)
+    ap.add_argument("--varcoeff", action="store_true",
+                    help="spatially varying c(x)=1+x in the div-div term")
     args = ap.parse_args()
     setup_jax(args)
 
@@ -27,7 +29,8 @@ def main():
     mesh = make_cartesian_3d(args.n, args.n, args.n)
     space = RTSpaceHO(mesh, order)
     print(f"RT_{order} on {mesh.ne} hexes: {space.ndof} dofs")
-    op = build_rt_operator(space, mass_coeff=1.0, divdiv_coeff=1.0,
+    dd = (lambda x: 1.0 + x[..., 0]) if args.varcoeff else 1.0
+    op = build_rt_operator(space, mass_coeff=1.0, divdiv_coeff=dd,
                            nq1d=order + 2)
 
     def sig(x):
@@ -36,7 +39,20 @@ def main():
                          c[..., 0] * s[..., 1] * c[..., 2],
                          c[..., 0] * c[..., 1] * s[..., 2]], axis=-1)
 
-    b = vecfe_linear_form(op, lambda x: (1 + 3 * np.pi**2) * sig(x))
+    def f(x):
+        if not args.varcoeff:
+            return (1 + 3 * np.pi**2) * sig(x)
+        # f = σ − ∇(c ∇·σ) with c = 1 + x, ∇·σ = 3π cosπx cosπy cosπz
+        s, c = np.sin(np.pi * x), np.cos(np.pi * x)
+        C = c[..., 0] * c[..., 1] * c[..., 2]
+        cx = 1.0 + x[..., 0]
+        grad = 3 * np.pi * np.stack([
+            C - np.pi * cx * s[..., 0] * c[..., 1] * c[..., 2],
+            -np.pi * cx * c[..., 0] * s[..., 1] * c[..., 2],
+            -np.pi * cx * c[..., 0] * c[..., 1] * s[..., 2]], axis=-1)
+        return sig(x) - grad
+
+    b = vecfe_linear_form(op, f)
     ess = space.essential_dofs(None)
     mask = np.zeros(space.ndof)
     mask[ess] = 1.0

@@ -127,3 +127,63 @@ def test_essential_dof_counts():
     rt = RTSpaceHO(mesh, 2)
     ess_rt = rt.essential_dofs(None)
     assert len(ess_rt) == 24 * 4        # (k+1)² = 4 per boundary face
+
+
+def _solve_divdiv_varcoeff(n, order):
+    """Spatially varying scalar coefficient in the div-div term
+    (DivDivIntegrator(Coefficient&), fem/bilininteg.hpp:3130):
+    (σ, τ) + (c div σ, div τ) = (f, τ) with c = 1 + x,
+    exact σ as in _solve_divdiv ⇒ f = σ − ∇(c ∇·σ)."""
+    mesh = make_cartesian_3d(n, n, n)
+    space = RTSpaceHO(mesh, order)
+    op = build_rt_operator(space, mass_coeff=1.0,
+                           divdiv_coeff=lambda x: 1.0 + x[..., 0],
+                           nq1d=order + 2)
+
+    def sig(x):
+        s, c = np.sin(np.pi * x), np.cos(np.pi * x)
+        return np.stack([
+            s[..., 0] * c[..., 1] * c[..., 2],
+            c[..., 0] * s[..., 1] * c[..., 2],
+            c[..., 0] * c[..., 1] * s[..., 2],
+        ], axis=-1)
+
+    def f(x):
+        s, c = np.sin(np.pi * x), np.cos(np.pi * x)
+        C = c[..., 0] * c[..., 1] * c[..., 2]
+        cx = 1.0 + x[..., 0]
+        grad = 3 * np.pi * np.stack([
+            C - np.pi * cx * s[..., 0] * c[..., 1] * c[..., 2],
+            -np.pi * cx * c[..., 0] * s[..., 1] * c[..., 2],
+            -np.pi * cx * c[..., 0] * c[..., 1] * s[..., 2],
+        ], axis=-1)
+        return sig(x) - grad
+
+    b = vecfe_linear_form(op, f)
+    ess = space.essential_dofs(None)
+    mask = np.zeros(space.ndof)
+    mask[ess] = 1.0
+    mask = jnp.asarray(mask)
+
+    def Aop(x):
+        y = op.mult(x * (1 - mask))
+        return y * (1 - mask) + x * mask
+
+    dg = op.diagonal()
+    x, info = cg(Aop, b * (1 - mask),
+                 M=lambda r: r / jnp.where(mask > 0, 1.0, dg),
+                 rel_tol=1e-11, max_iter=6000)
+    _, _, Bq = next(t for t in op.terms if t[0] == "mass")
+    e = x[op.gather] * op.signs
+    vals = np.asarray(jnp.einsum("eqnc,en->eqc", Bq, e))
+    ex = sig(np.asarray(op.gf.x))
+    w = np.asarray(op.gf.wdet)
+    return np.sqrt(np.sum(w[..., None] * (vals - ex) ** 2))
+
+
+def test_divdiv_variable_coefficient_converges():
+    e1 = _solve_divdiv_varcoeff(2, 2)
+    e2 = _solve_divdiv_varcoeff(4, 2)
+    rate = np.log2(e1 / e2)
+    assert rate > 1.6, (e1, e2, rate)
+    assert e2 < 0.03
