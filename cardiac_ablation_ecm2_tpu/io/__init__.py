@@ -2,3 +2,4 @@ from .mesh_io import read_mfem_mesh, write_mfem_mesh
 from .vtu import write_vtu, vertex_values, write_pvd
 from .checkpoint import DataCollection, save_gridfunction, load_gridfunction
 from .gmsh import read_gmsh
+from .vtkhdf import VTKHDFDataCollection, read_vtkhdf

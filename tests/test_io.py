@@ -147,3 +147,56 @@ def test_gmsh_mixed_mesh_loads():
     assert isinstance(mesh, MixedMesh)
     assert {str(int(g)) for g, _, _ in mesh.blocks} == {"2", "3"}  # tri+quad
     assert mesh.ne == 12 and mesh.nbe == 8
+
+
+def test_vtkhdf_roundtrip(tmp_path):
+    """VTKHDF (ParaViewHDFDataCollection analog): temporal collection over a
+    static mesh round-trips points/cells/fields; layout carries the v2.0
+    Version/Type attrs ParaView's reader checks."""
+    import h5py
+
+    from cardiac_ablation_ecm2_tpu.io.vtkhdf import (VTKHDFDataCollection,
+                                                     read_vtkhdf)
+    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_2d
+
+    mesh = make_cartesian_2d(3, 2)
+    path = str(tmp_path / "col.vtkhdf")
+    rng = np.random.default_rng(0)
+    fields = [rng.standard_normal(mesh.nv) for _ in range(3)]
+    cells = [rng.standard_normal(mesh.ne) for _ in range(3)]
+    with VTKHDFDataCollection(path, mesh) as col:
+        for k in range(3):
+            col.save(0.5 * k, {"T": fields[k]}, {"attr": cells[k]})
+
+    with h5py.File(path, "r") as f:
+        g = f["VTKHDF"]
+        assert list(g.attrs["Version"]) == [2, 0]
+        assert g.attrs["Type"] in (b"UnstructuredGrid", "UnstructuredGrid")
+        assert int(g["Steps"].attrs["NSteps"]) == 3
+
+    pts, conn, offs, types, steps = read_vtkhdf(path)
+    assert pts.shape == (mesh.nv, 3)
+    assert np.array_equal(conn.reshape(mesh.ne, 4), mesh.elements)
+    assert np.all(types == 9)
+    assert len(steps) == 3
+    for k, (t, pd, cd) in enumerate(steps):
+        assert t == 0.5 * k
+        assert np.allclose(pd["T"], fields[k])
+        assert np.allclose(cd["attr"], cells[k])
+
+
+def test_vtkhdf_mixed_mesh(tmp_path):
+    """Mixed tri+quad meshes write per-cell offsets/types."""
+    from cardiac_ablation_ecm2_tpu.io.gmsh import read_gmsh
+    from cardiac_ablation_ecm2_tpu.io.vtkhdf import (VTKHDFDataCollection,
+                                                     read_vtkhdf)
+
+    mesh, _ = read_gmsh(f"{DATA}/compass.msh")
+    path = str(tmp_path / "mixed.vtkhdf")
+    with VTKHDFDataCollection(path, mesh) as col:
+        col.save(0.0, {"u": np.arange(mesh.nv, dtype=float)})
+    pts, conn, offs, types, steps = read_vtkhdf(path)
+    assert len(types) == mesh.ne
+    assert set(types) == {5, 9}
+    assert offs[-1] == conn.size
+    assert np.allclose(steps[0][1]["u"], np.arange(mesh.nv))
