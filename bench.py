@@ -191,31 +191,41 @@ def main():
     # sync is honest — it *includes* the sync overhead, so the recorded
     # time is an upper bound.
     sync_steps = os.environ.get("BENCH_SYNC_STEPS", "0") == "1"
+    # BENCH_STEP_PAUSE=<seconds>: sleep between steps so the tunnel can
+    # drain its queues (observed 2026-08-17 at n=66: back-to-back ~1 s
+    # dispatches kill the session with "TPU device error" even with
+    # per-step sync).  Implies per-step sync; per_step is then the mean of
+    # individually timed dispatch→ready durations — still end-to-end.
+    pause = float(os.environ.get("BENCH_STEP_PAUSE", "0"))
+    if pause > 0:
+        sync_steps = True
+
+    def timed_loop(nsteps, Tc, tc):
+        total = 0.0
+        for _ in range(nsteps):
+            t0 = time.perf_counter()
+            Tc, tc = step(Tc, tc, dt)
+            if sync_steps:
+                jax.block_until_ready(Tc)
+            total += time.perf_counter() - t0
+            if pause > 0:
+                time.sleep(pause)
+        jax.block_until_ready(Tc)
+        return total, Tc, tc
 
     # warmup / compile
     T1, t1 = step(T, t, dt)
     jax.block_until_ready(T1)
+    if pause > 0:
+        time.sleep(pause)
 
-    t0 = time.perf_counter()
-    Tc, tc = T1, t1
-    for _ in range(steps):
-        Tc, tc = step(Tc, tc, dt)
-        if sync_steps:
-            jax.block_until_ready(Tc)
-    jax.block_until_ready(Tc)
-    wall = time.perf_counter() - t0
+    wall, Tc, tc = timed_loop(steps, T1, t1)
     per_step = wall / steps
     dofs_per_s = fes.ndof / per_step
 
     # completion-signal self-check: timing must scale ~linearly in the
     # step count (a broken ready-event returns immediately and would not)
-    t0 = time.perf_counter()
-    for _ in range(2 * steps):
-        Tc, tc = step(Tc, tc, dt)
-        if sync_steps:
-            jax.block_until_ready(Tc)
-    jax.block_until_ready(Tc)
-    wall2 = time.perf_counter() - t0
+    wall2, Tc, tc = timed_loop(2 * steps, Tc, tc)
     scale_ok = 1.2 < wall2 / max(wall, 1e-12) < 3.3
 
     baseline = None
