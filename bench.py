@@ -145,6 +145,7 @@ def main():
             ess_bdr=[1, 2, 3, 4, 5, 6], rel_tol=tol, max_iter=300,
             dtype=dtype, fused_setup=True, theta_form=True,
             qdata_bf16=os.environ.get("BENCH_BF16_QDATA", "0") == "1",
+            cg_variant=os.environ.get("BENCH_CG", "classic"),
             collapse_uniform_qdata=(
                 not unstructured
                 and os.environ.get("BENCH_NO_COLLAPSE", "0") != "1"),

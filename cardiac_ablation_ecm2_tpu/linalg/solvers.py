@@ -251,3 +251,77 @@ def power_method(
     v, lam = lax.fori_loop(0, iters, step, (v, jnp.array(1.0, v.dtype)))
     w = A(v)
     return dot(v, w) / dot(v, v)
+
+
+def cg_merged(
+    A: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    M: Optional[Callable] = None,
+    rel_tol: float = 1e-8,
+    abs_tol: float = 0.0,
+    max_iter: int = 500,
+    dot: Callable = default_dot,
+    check_convergence: bool = True,
+):
+    """Single-reduction (Chronopoulos–Gear) preconditioned CG.
+
+    Mathematically the same iterates as ``cg`` but restructured so each
+    iteration has ONE synchronization region: both inner products
+    ((r,u) and (w,u)) are evaluated back-to-back after the operator
+    apply, and every vector update uses lagged scalars.  On TPU this
+    halves the number of serialized reduction→scalar→elementwise chains
+    inside the ``lax.while_loop`` body, which is the dominant non-apply
+    cost of the loop (BASELINE.md roofline: ~1.7 ms/iter against a
+    0.84 ms apply).  Reference hot loop: ``CGSolver::Mult``
+    (linalg/solvers.cpp:869); restructuring per Chronopoulos & Gear,
+    J. Comput. Appl. Math. 25 (1989).
+
+    Same stopping rule as ``cg``: (r, M r) ≤ max(rel_tol²·(r₀, M r₀),
+    abs_tol²).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    prec = M if M is not None else (lambda v: v)
+
+    r0 = b - A(x0)
+    u0 = prec(r0)
+    w0 = A(u0)
+    gamma0 = dot(r0, u0)
+    delta0 = dot(w0, u0)
+    target = jnp.maximum(rel_tol * rel_tol * gamma0, abs_tol * abs_tol)
+    safe = lambda x: jnp.where(x == 0, 1.0, x)
+    alpha0 = gamma0 / safe(delta0)
+
+    def cond(st):
+        return jnp.logical_and(st[-2] < max_iter, jnp.logical_not(st[-1]))
+
+    def body(st):
+        x, r, u, w, p, s, alpha, beta, gamma, k, _ = st
+        p = u + beta * p
+        s = w + beta * s
+        x = x + alpha * p
+        r = r - alpha * s
+        u = prec(r)
+        w = A(u)
+        gamma_new = dot(r, u)
+        delta = dot(w, u)
+        beta_new = gamma_new / safe(gamma)
+        alpha_new = gamma_new / safe(delta - beta_new * gamma_new /
+                                     safe(alpha))
+        done = (gamma_new <= target) if check_convergence \
+            else jnp.asarray(False)
+        return (x, r, u, w, p, s, alpha_new, beta_new, gamma_new,
+                k + 1, done)
+
+    z = jnp.zeros_like(b)
+    init = (x0, r0, u0, w0, z, z, alpha0, jnp.zeros((), b.dtype),
+            gamma0, jnp.int32(0), gamma0 <= target)
+    st = lax.while_loop(cond, body, init)
+    x, gamma, k, done = st[0], st[8], st[9], st[10]
+    info = SolveInfo(
+        iterations=k,
+        final_norm=jnp.sqrt(jnp.abs(gamma)),
+        converged=gamma <= target,
+    )
+    return x, info

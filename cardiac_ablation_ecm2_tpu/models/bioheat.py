@@ -26,7 +26,7 @@ from ..fem.build import basis_for, geom_factors_for, restriction_for
 from ..fem.coefficient import eval_coeff
 from ..fem.fespace import FESpace
 from ..fem.quadinterp import eval_values_t
-from ..linalg.solvers import cg, default_dot
+from ..linalg.solvers import cg, cg_merged, default_dot
 from ..ops import diffusion, lanemajor, mass
 from ..utils.config import index_t, real_t
 
@@ -105,6 +105,11 @@ class BioheatOperator:
     #: _implicit_lhs_apply).  Works with collapsed (broadcast) or full
     #: per-element qdata (pre-transposed once at setup).
     transposed_apply: bool = True
+    #: inner CG variant: "classic" (CGSolver::Mult-shaped, two serialized
+    #: reductions/iter) or "merged" (single-reduction Chronopoulos–Gear,
+    #: ``linalg/solvers.cg_merged`` — identical iterates, one sync region
+    #: per iteration; targets the loop-overhead half of the roofline).
+    cg_variant: str = "classic"
 
     def __post_init__(self):
         fes = self.fes
@@ -386,8 +391,9 @@ class BioheatOperator:
         if self.has_ess:
             diag = diag * mask + (1.0 - mask)
         inv = 1.0 / diag
-        x, _ = cg(Mc, rhs, M=lambda r: inv * r, rel_tol=self.rel_tol,
-                  max_iter=self.max_iter, dot=self._dot())
+        solve = cg_merged if self.cg_variant == "merged" else cg
+        x, _ = solve(Mc, rhs, M=lambda r: inv * r, rel_tol=self.rel_tol,
+                     max_iter=self.max_iter, dot=self._dot())
         return self._zero_ess(x)
 
     def implicit_solve(self, gamma, t, T):
@@ -405,8 +411,9 @@ class BioheatOperator:
         if self.has_ess:
             diag = diag * mask + (1.0 - mask)
         inv = 1.0 / diag
-        k, _ = cg(lhs, rhs, M=lambda r: inv * r, rel_tol=self.rel_tol,
-                  max_iter=self.max_iter, dot=self._dot())
+        solve = cg_merged if self.cg_variant == "merged" else cg
+        k, _ = solve(lhs, rhs, M=lambda r: inv * r, rel_tol=self.rel_tol,
+                     max_iter=self.max_iter, dot=self._dot())
         return self._zero_ess(k)
 
 

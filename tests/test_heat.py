@@ -155,3 +155,39 @@ def test_bioheat_bf16_qdata_accuracy():
     ref, bf16 = run(False), run(True)
     assert ref > 0.1                      # heating happened
     assert abs(bf16 - ref) < 3e-4 * max(ref, 1.0)
+
+
+def test_bioheat_merged_cg_matches_classic():
+    """cg_variant='merged' (single-reduction Chronopoulos-Gear) produces
+    the same trajectory as the classic CG loop."""
+    import jax.numpy as jnp
+
+    from cardiac_ablation_ecm2_tpu.linalg import ode
+    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_3d
+    from cardiac_ablation_ecm2_tpu.models import bioheat
+
+    mesh = make_cartesian_3d(6, 6, 6, 0.04, 0.04, 0.04)
+    from cardiac_ablation_ecm2_tpu.fem import FESpace
+
+    fes = FESpace(mesh, 2)
+
+    def src(x):
+        r2 = sum((x[..., i] - 0.02) ** 2 for i in range(3))
+        return 1e6 * jnp.exp(-r2 / 0.005**2)
+
+    kw = dict(fes=fes, rho_c=3.6e6, k=0.54, w_cb=2e4, T_a=37.0,
+              q_met=src, ess_bdr=[1, 2, 3, 4, 5, 6], rel_tol=1e-10,
+              max_iter=400, dtype="float64", theta_form=True)
+    solver = ode.select("sdirk33")
+    Ts = {}
+    for variant in ("classic", "merged"):
+        op = bioheat.BioheatOperator(cg_variant=variant, **kw)
+        T = jnp.zeros(fes.ndof, dtype=jnp.float64)
+        t, dt = jnp.asarray(0.0), jnp.asarray(0.25)
+        for _ in range(3):
+            T, t = solver.step(op, T, t, dt)
+        Ts[variant] = T
+    diff = float(jnp.abs(Ts["classic"] - Ts["merged"]).max())
+    scale = float(jnp.abs(Ts["classic"]).max())
+    assert scale > 0.01            # something actually heated up
+    assert diff < 1e-9 * scale, (diff, scale)
