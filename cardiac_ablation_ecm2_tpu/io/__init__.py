@@ -3,3 +3,4 @@ from .vtu import write_vtu, vertex_values, write_pvd
 from .checkpoint import DataCollection, save_gridfunction, load_gridfunction
 from .gmsh import read_gmsh
 from .vtkhdf import VTKHDFDataCollection, read_vtkhdf
+from .orbax_ckpt import ShardedCheckpointer
