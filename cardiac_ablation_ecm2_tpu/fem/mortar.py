@@ -237,3 +237,163 @@ def contact_solve(
             return u, lam, it + 1
         active_prev = active
     return u, lam, max_outer
+
+
+def _face_rule(geom: Geometry, order: int):
+    """Quadrature on the reference face: points (nq, rdim), weights (nq,)."""
+    from .intrules import gauss_legendre_1d, simplex_rule
+
+    if geom == Geometry.SEGMENT:
+        x, w = gauss_legendre_1d(order + 2)
+        return x[:, None], w
+    if geom == Geometry.QUAD:
+        x, w = gauss_legendre_1d(order + 2)
+        P = np.stack([np.repeat(x, len(x)), np.tile(x, len(x))], axis=1)
+        return P, np.outer(w, w).ravel()
+    if geom == Geometry.TRIANGLE:
+        return simplex_rule(2, 2 * order + 3)
+    raise NotImplementedError(f"face geometry {geom}")
+
+
+def build_mortar_constraints(
+    fes, slave_attr: Sequence[int], master_attr: Sequence[int],
+    normal_only: bool = False, dtype=jnp.float64, max_pair_dist: float = 0.5,
+) -> MortarPairing:
+    """Segment-integrated (true mortar) interface constraints.
+
+    Instead of collocating at slave nodes (``build_tie_constraints``), each
+    multiplier ψ_i — the slave trace basis — enforces the *weak* equality
+
+        ∫_Γs ψ_i (u_s − u_m) ds = 0            (tied; per component)
+        ∫_Γs ψ_i n·(u_s − u_m) ds ≥ −g_i       (normal/contact mode)
+
+    integrated with Gauss rules on the slave faces, master values evaluated
+    at the closest-point projections.  This is the standard mortar coupling
+    (the role Tribol fills for ``miniapps/contact``) and — unlike
+    collocation — transmits constant stress exactly across non-matching
+    grids (patch test).  Weighted gaps g_i = ∫ ψ_i n·(x_s − x_m) ds.
+    """
+    mesh = fes.mesh
+    ns = fes.ndof_scalar
+    vdim = fes.vdim
+    p = fes.order
+    gmap = np.asarray(fes.bdr_gather_map)
+    att = np.asarray(mesh.bdr_attributes)
+    coords = np.asarray(fes.dof_coords)
+    bgeom = mesh.bdr_geom
+    fnormals = boundary_face_normals(mesh)
+
+    sfaces = np.nonzero(np.isin(att, np.asarray(list(slave_attr))))[0]
+    mfaces = np.nonzero(np.isin(att, np.asarray(list(master_attr))))[0]
+    if len(sfaces) == 0 or len(mfaces) == 0:
+        raise ValueError("empty slave or master surface")
+    sdofs = np.unique(gmap[sfaces].ravel())
+    row_of = {int(d): i for i, d in enumerate(sdofs)}
+    nrow = len(sdofs)
+
+    mC = coords[gmap[mfaces]]                  # (nmf, nd, sdim)
+    lo = mC.min(axis=1) - max_pair_dist
+    hi = mC.max(axis=1) + max_pair_dist
+
+    qref0, qw0 = _face_rule(bgeom, p)
+
+    # accumulate rows as {col: coeff}; one row per (slave dof, component)
+    # in tied mode, one per slave dof in normal mode
+    acc = [dict() for _ in range(nrow * (1 if normal_only else vdim))]
+    gaps = np.zeros(nrow)
+
+    for fi, f in enumerate(sfaces):
+        Cs = coords[gmap[f]]                   # (nd, sdim)
+        if bgeom == Geometry.SEGMENT:
+            # mortar segmentation: split the slave segment where master
+            # face endpoints project onto it — the master trace has kinks
+            # there, and exact sub-segment Gauss is what makes the patch
+            # test exact (the role of Tribol's mortar segments)
+            s0, s1 = Cs[0], Cs[-1]
+            d01 = s1 - s0
+            L2 = float(d01 @ d01)
+            breaks = []
+            for ci in range(len(mC)):
+                for vtx in (mC[ci][0], mC[ci][-1]):
+                    t = float((vtx - s0) @ d01) / L2
+                    if 1e-9 < t < 1 - 1e-9:
+                        if np.linalg.norm(s0 + t * d01 - vtx) \
+                                < max_pair_dist:
+                            breaks.append(t)
+            from .cutcells import _split_gauss_1d
+
+            q1, w1 = _split_gauss_1d(0.0, 1.0, breaks, qref0[:, 0], qw0)
+            qref, qw = q1[:, None], w1
+        else:
+            qref, qw = qref0, qw0
+        Bq, Gq = _face_basis(bgeom, p, qref)   # (nq, nd), (nq, nd, rdim)
+        nq = len(qw)
+        Xq = Bq @ Cs                           # (nq, sdim) physical qpoints
+        # surface measure at each qp
+        J = np.einsum("qnr,ns->qsr", Gq, Cs)   # (nq, sdim, rdim)
+        if mesh.dim == 2:
+            ds = np.linalg.norm(J[:, :, 0], axis=1)
+        else:
+            ds = np.linalg.norm(np.cross(J[:, :, 0], J[:, :, 1]), axis=1)
+        w = qw * ds
+        for q in range(nq):
+            x = Xq[q]
+            cand = np.nonzero(((x >= lo) & (x <= hi)).all(axis=1))[0]
+            if len(cand) == 0:
+                continue
+            best = None
+            for ci in cand:
+                xi, dist = _closest_point(bgeom, p, mC[ci], x)
+                if best is None or dist < best[0]:
+                    best = (dist, ci, xi)
+            dist, ci, xi = best
+            if dist > max_pair_dist:
+                continue
+            phi_m, _ = _face_basis(bgeom, p, xi[None])
+            phi_m = phi_m[0]
+            mdofs = gmap[mfaces[ci]]
+            nrm = fnormals[mfaces[ci]]
+            xm = phi_m @ mC[ci]
+            for i_loc, sd in enumerate(gmap[f]):
+                psi = Bq[q, i_loc]
+                if abs(psi) < 1e-14:
+                    continue
+                ri = row_of[int(sd)]
+                # u_s(q) = Σ_j φ_j(q) u_j over the slave face trace;
+                # u_m(q) = Σ_j φ^m_j(ξ*) u_j over the master face
+                if normal_only:
+                    row = acc[ri]
+                    gaps[ri] += w[q] * psi * float(nrm @ (x - xm))
+                    for c in range(vdim):
+                        for j_loc, sj in enumerate(gmap[f]):
+                            if abs(Bq[q, j_loc]) > 1e-14:
+                                key = int(sj) + c * ns
+                                row[key] = row.get(key, 0.0) + \
+                                    w[q] * psi * Bq[q, j_loc] * nrm[c]
+                        for jm, md in enumerate(mdofs):
+                            if abs(phi_m[jm]) > 1e-14:
+                                key = int(md) + c * ns
+                                row[key] = row.get(key, 0.0) - \
+                                    w[q] * psi * phi_m[jm] * nrm[c]
+                else:
+                    for c in range(vdim):
+                        row = acc[ri * vdim + c]
+                        for j_loc, sj in enumerate(gmap[f]):
+                            if abs(Bq[q, j_loc]) > 1e-14:
+                                key = int(sj) + c * ns
+                                row[key] = row.get(key, 0.0) + \
+                                    w[q] * psi * Bq[q, j_loc]
+                        for jm, md in enumerate(mdofs):
+                            if abs(phi_m[jm]) > 1e-14:
+                                key = int(md) + c * ns
+                                row[key] = row.get(key, 0.0) - \
+                                    w[q] * psi * phi_m[jm]
+
+    rows = [sorted(r.items()) for r in acc if r]
+    kept = [i for i, r in enumerate(acc) if r]
+    B = from_rows([[(k, v) for k, v in r] for r in rows], fes.ndof,
+                  dtype=dtype)
+    if normal_only:
+        return MortarPairing(B=B, gaps=gaps[kept], normals=fnormals,
+                             slave_dofs=sdofs)
+    return MortarPairing(B=B, slave_dofs=sdofs)

@@ -188,3 +188,66 @@ def test_two_body_contact_pdas():
     # lower block's top surface is pushed down
     top_lo = fes.essential_dofs([8])
     assert np.asarray(u1[ns:])[top_lo].mean() < -1e-4
+
+
+def _patch_setup(nx_lo, nx_hi, ny, t_load=0.08):
+    """Uniform uniaxial compression with exact linear solution
+    u = (t/8 x, -3t/8 y) for lambda = mu = 1 (plane strain):
+    clamp uy on the lower bottom, ux on both left edges, traction
+    (0, -t) on the upper top; sides traction-free."""
+    mesh = two_body_mesh(nx_lo, nx_hi, ny)
+    fes = FESpace(mesh, 1, vdim=2)
+    ns = fes.ndof_scalar
+    A = BilinearForm(fes).add_domain_integrator(
+        "elasticity", coeff=(1.0, 1.0)).assemble()
+    b = boundary_lf_vector(fes, np.array([0.0, -t_load]), bdr_marker=[3])
+    bot = fes.essential_dofs([1])
+    left = np.concatenate([fes.essential_dofs([4]),
+                           fes.essential_dofs([14])])
+    fixed = np.concatenate([bot + ns, left])
+    fm = jnp.zeros(fes.ndof).at[jnp.asarray(fixed)].set(1.0)
+    free = 1.0 - fm
+
+    def A_bc(v):
+        z = v * free
+        return A.mult(z) * free + (v - z)
+
+    diag = A.diagonal() * free + fm
+    X = np.asarray(fes.dof_coords)
+    exact = np.concatenate([t_load / 8 * X[:, 0], -3 * t_load / 8 * X[:, 1]])
+    return fes, A_bc, b * free, diag, exact
+
+
+def test_mortar_passes_patch_test_where_collocation_fails():
+    """Segment-integrated mortar transmits constant stress exactly across
+    the non-matching interface (exact linear solution to solver tol);
+    node-to-segment collocation demonstrably does not."""
+    from cardiac_ablation_ecm2_tpu.fem.mortar import build_mortar_constraints
+
+    fes, A_bc, b, diag, exact = _patch_setup(3, 5, 3)
+    errs = {}
+    for name, builder in (("mortar", build_mortar_constraints),
+                          ("collocation", build_tie_constraints)):
+        pair = builder(fes, [7], [8], max_pair_dist=0.3)
+        u, lam, info = eliminate_constrained_solve(
+            A_bc, pair.B, b, M=lambda v: v / diag, rel_tol=1e-13,
+            max_iter=8000)
+        assert bool(info.converged)
+        errs[name] = float(np.abs(np.asarray(u) - exact).max())
+    scale = np.abs(exact).max()
+    assert errs["mortar"] < 1e-9 * scale, errs
+    assert errs["collocation"] > 100 * errs["mortar"], errs
+
+
+def test_mortar_matching_equals_conforming():
+    """On matching grids the mortar coupling reproduces the conforming
+    solution too (same as collocation there)."""
+    from cardiac_ablation_ecm2_tpu.fem.mortar import build_mortar_constraints
+
+    fes, A_bc, b, diag, exact = _patch_setup(4, 4, 4)
+    pair = build_mortar_constraints(fes, [7], [8], max_pair_dist=0.3)
+    u, _, info = eliminate_constrained_solve(
+        A_bc, pair.B, b, M=lambda v: v / diag, rel_tol=1e-13, max_iter=8000)
+    assert bool(info.converged)
+    err = float(np.abs(np.asarray(u) - exact).max())
+    assert err < 1e-9 * np.abs(exact).max(), err
