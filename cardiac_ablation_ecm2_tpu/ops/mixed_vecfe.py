@@ -27,6 +27,7 @@ from typing import Callable
 import jax.numpy as jnp
 import numpy as np
 
+from ..fem.build import geom_factors_for
 from ..fem.fe_vector import NDSpace, RTSpace
 from ..utils.config import index_t, real_t
 
@@ -279,3 +280,65 @@ def mixed_scalar_mass(trial_fes, test_fes, coeff=1.0, nq1d=3, dtype=None):
     Bt = _scalar_value(trial_fes, nq1d, rt)
     Bs = _scalar_value(test_fes, nq1d, rt)
     return _make(trial_fes, test_fes, Bt, Bs, gf, coeff, rt)
+
+
+def _ident(e):
+    return e
+
+
+def vector_divergence(vfes, pfes, coeff=1.0, nq1d=None, dtype=None):
+    """(c div u, q): vector-H1 trial (byNODES layout) → scalar H1/L2 test
+    (VectorDivergenceIntegrator, fem/bilininteg.hpp:3028) — the Stokes /
+    Taylor–Hood pressure block.  The two spaces may have different orders;
+    both tables are built at the same ``nq1d`` rule on the same mesh."""
+    rt = real_t(dtype)
+    nq1d = nq1d or (vfes.order + 2)
+    gf = geom_factors_for(vfes, nq1d, dtype)
+    Gphys = _scalar_grad(vfes, gf, nq1d, rt)     # (ne, nq, nd, dim)
+    vdim = vfes.vdim
+    ns_v = vfes.ndof_scalar
+    gm_v = np.asarray(vfes.gather_map)
+    g_trial = np.concatenate([gm_v + c * ns_v for c in range(vdim)], axis=1)
+    Bt = jnp.concatenate([Gphys[..., c] for c in range(vdim)],
+                         axis=2)[..., None]      # (ne, nq, nd·vdim, 1)
+    Bs = _scalar_value(pfes, nq1d, rt)           # (nq, nd_p)
+    cq = jnp.asarray(coeff(gf.x), rt) if callable(coeff) else float(coeff)
+    return MixedVecFEOperator(
+        g_trial=jnp.asarray(g_trial, index_t()),
+        g_test=jnp.asarray(pfes.gather_map, index_t()),
+        pre_trial=_ident, post_trial=_ident,
+        pre_test=_ident, post_test=_ident,
+        Bt=Bt, Bs=Bs, qd=cq * gf.wdet,
+        ndof_trial=vfes.ndof, ndof_test=pfes.ndof_scalar)
+
+
+def gradient(pfes, vfes, coeff=1.0, nq1d=None, dtype=None):
+    """(c ∇p, v): scalar H1 trial → vector-H1 test
+    (GradientIntegrator, fem/bilininteg.hpp:2284)."""
+    op = vector_divergence(vfes, pfes, coeff=coeff, nq1d=nq1d, dtype=dtype)
+    return MixedVecFEOperator(
+        g_trial=op.g_test, g_test=op.g_trial,
+        pre_trial=_ident, post_trial=_ident,
+        pre_test=_ident, post_test=_ident,
+        Bt=op.Bs, Bs=op.Bt, qd=op.qd,
+        ndof_trial=op.ndof_test, ndof_test=op.ndof_trial)
+
+
+def derivative(fes_trial, fes_test, direction: int, coeff=1.0, nq1d=None,
+               dtype=None):
+    """(c ∂u/∂x_i, v) on scalar spaces (DerivativeIntegrator,
+    fem/bilininteg.hpp:2204)."""
+    rt = real_t(dtype)
+    nq1d = nq1d or (fes_trial.order + 2)
+    gf = geom_factors_for(fes_trial, nq1d, dtype)
+    Gphys = _scalar_grad(fes_trial, gf, nq1d, rt)
+    Bt = Gphys[..., direction][..., None]        # (ne, nq, nd, 1)
+    Bs = _scalar_value(fes_test, nq1d, rt)
+    cq = jnp.asarray(coeff(gf.x), rt) if callable(coeff) else float(coeff)
+    return MixedVecFEOperator(
+        g_trial=jnp.asarray(fes_trial.gather_map, index_t()),
+        g_test=jnp.asarray(fes_test.gather_map, index_t()),
+        pre_trial=_ident, post_trial=_ident,
+        pre_test=_ident, post_test=_ident,
+        Bt=Bt, Bs=Bs, qd=cq * gf.wdet,
+        ndof_trial=fes_trial.ndof_scalar, ndof_test=fes_test.ndof_scalar)
