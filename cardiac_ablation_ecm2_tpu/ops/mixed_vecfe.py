@@ -137,16 +137,23 @@ class MixedVecFEOperator:
             return jnp.einsum("eqn,eq->en", B, q[..., 0])
         raise ValueError(B.shape)
 
+    def _couple(self, qe, transpose=False):
+        """qdata coupling: scalar (ne, nq) or matrix (ne, nq, cs, ct)."""
+        if self.qd.ndim == 4:
+            eq = "eqst,eqs->eqt" if transpose else "eqst,eqt->eqs"
+            return jnp.einsum(eq, self.qd, qe)
+        return qe * self.qd[..., None]
+
     def mult(self, x: jnp.ndarray) -> jnp.ndarray:
         e = self.pre_trial(x[self.g_trial])
-        q = self._eval(self.Bt, e) * self.qd[..., None]
+        q = self._couple(self._eval(self.Bt, e))
         y = self.post_test(self._evalT(self.Bs, q))
         out = jnp.zeros(self.ndof_test, dtype=y.dtype)
         return out.at[self.g_test.reshape(-1)].add(y.reshape(-1))
 
     def mult_t(self, y: jnp.ndarray) -> jnp.ndarray:
         e = self.pre_test(y[self.g_test])
-        q = self._eval(self.Bs, e) * self.qd[..., None]
+        q = self._couple(self._eval(self.Bs, e), transpose=True)
         x = self.post_trial(self._evalT(self.Bt, q))
         out = jnp.zeros(self.ndof_trial, dtype=x.dtype)
         return out.at[self.g_trial.reshape(-1)].add(x.reshape(-1))
@@ -162,7 +169,7 @@ class MixedVecFEOperator:
         eye = jnp.eye(nt, dtype=self.qd.dtype)
         for j in range(nt):
             e = self.pre_trial(jnp.broadcast_to(eye[j], (ne, nt)))
-            q = self._eval(self.Bt, e) * self.qd[..., None]
+            q = self._couple(self._eval(self.Bt, e))
             cols_e[:, :, j] = np.asarray(
                 self.post_test(self._evalT(self.Bs, q)))
         rows = np.broadcast_to(
@@ -342,3 +349,171 @@ def derivative(fes_trial, fes_test, direction: int, coeff=1.0, nq1d=None,
         pre_test=_ident, post_test=_ident,
         Bt=Bt, Bs=Bs, qd=cq * gf.wdet,
         ndof_trial=fes_trial.ndof_scalar, ndof_test=fes_test.ndof_scalar)
+
+
+# ----------------------------------------------------------------------------
+# the cross/dot/directional pairing family (fem/bilininteg.hpp:1034 ff.)
+# ----------------------------------------------------------------------------
+
+def _h1_vec_value(vfes, nq1d, rt):
+    """(g_trial, table) for a vdim H1 space as a vector field: block
+    value table B[q, n + c·nd, c'] = φ_n(q) δ_cc' with byNODES gathers."""
+    Bsc = np.asarray(_scalar_value(vfes, nq1d, rt))     # (nq, nd)
+    nq, nd = Bsc.shape
+    d = vfes.vdim
+    tab = np.zeros((nq, nd * d, d))
+    for c in range(d):
+        tab[:, c * nd:(c + 1) * nd, c] = Bsc
+    gm = np.asarray(vfes.gather_map)
+    g = np.concatenate([gm + c * vfes.ndof_scalar for c in range(d)],
+                       axis=1)
+    return g, jnp.asarray(tab, rt)
+
+
+def _vq(V, gf, rt, dim):
+    """Vector coefficient at quadrature points → (ne, nq, dim)."""
+    if callable(V):
+        return jnp.asarray(V(gf.x), rt)
+    arr = jnp.asarray(V, rt)
+    ne, nq = gf.det.shape
+    return jnp.broadcast_to(arr[None, None, :], (ne, nq, dim))
+
+
+def _coupled(trial_pack, test_pack, QD, gf, nt, ns):
+    gt, Bt = trial_pack
+    gs, Bs = test_pack
+    if isinstance(Bt, np.ndarray):
+        Bt = jnp.asarray(Bt)
+    if isinstance(Bs, np.ndarray):
+        Bs = jnp.asarray(Bs)
+    # shared (nq, nd, c) tables broadcast across elements for the 4-dim path
+    ne = gf.det.shape[0]
+    if Bt.ndim == 3 and Bt.shape[0] == gf.det.shape[1]:
+        Bt = jnp.broadcast_to(Bt[None], (ne,) + Bt.shape)
+    if Bs.ndim == 3 and Bs.shape[0] == gf.det.shape[1]:
+        Bs = jnp.broadcast_to(Bs[None], (ne,) + Bs.shape)
+    return MixedVecFEOperator(
+        g_trial=jnp.asarray(np.asarray(gt), index_t()),
+        g_test=jnp.asarray(np.asarray(gs), index_t()),
+        pre_trial=_ident, post_trial=_ident,
+        pre_test=_ident, post_test=_ident,
+        Bt=Bt, Bs=Bs, qd=QD * gf.wdet[..., None, None],
+        ndof_trial=nt, ndof_test=ns)
+
+
+def _sc_pack(sfes, nq1d, rt):
+    """Scalar space as a 1-channel table (nq, nd, 1)."""
+    B = _scalar_value(sfes, nq1d, rt)
+    return sfes.gather_map, B[..., None]
+
+
+def mixed_dot_product(vfes, sfes, V, nq1d=None, dtype=None):
+    """(V·u, q): vector-H1 trial → scalar test
+    (MixedDotProductIntegrator, fem/bilininteg.hpp)."""
+    rt = real_t(dtype)
+    nq1d = nq1d or (vfes.order + 2)
+    gf = geom_factors_for(vfes, nq1d, dtype)
+    d = vfes.vdim
+    Vq = _vq(V, gf, rt, d)
+    QD = Vq[:, :, None, :]                            # (ne, nq, 1, d)
+    return _coupled(_h1_vec_value(vfes, nq1d, rt),
+                    _sc_pack(sfes, nq1d, rt),
+                    QD, gf, vfes.ndof, sfes.ndof_scalar)
+
+
+def mixed_vector_product(sfes, vfes, V, nq1d=None, dtype=None):
+    """(V u, w): scalar trial → vector-H1 test
+    (MixedVectorProductIntegrator)."""
+    rt = real_t(dtype)
+    nq1d = nq1d or (vfes.order + 2)
+    gf = geom_factors_for(vfes, nq1d, dtype)
+    d = vfes.vdim
+    Vq = _vq(V, gf, rt, d)
+    QD = Vq[:, :, :, None]                            # (ne, nq, d, 1)
+    return _coupled(_sc_pack(sfes, nq1d, rt),
+                    _h1_vec_value(vfes, nq1d, rt),
+                    QD, gf, sfes.ndof_scalar, vfes.ndof)
+
+
+def _skew3(Vq):
+    """(ne, nq, 3) → (ne, nq, 3, 3) with S u = V × u."""
+    z = jnp.zeros_like(Vq[..., 0])
+    vx, vy, vz = Vq[..., 0], Vq[..., 1], Vq[..., 2]
+    return jnp.stack([
+        jnp.stack([z, -vz, vy], axis=-1),
+        jnp.stack([vz, z, -vx], axis=-1),
+        jnp.stack([-vy, vx, z], axis=-1),
+    ], axis=-2)
+
+
+def mixed_cross_product(vfes_t, vfes_s, V, nq1d=None, dtype=None):
+    """(V × u, w): 3D vector-H1 trial and test
+    (MixedCrossProductIntegrator)."""
+    rt = real_t(dtype)
+    nq1d = nq1d or (vfes_t.order + 2)
+    gf = geom_factors_for(vfes_t, nq1d, dtype)
+    Vq = _vq(V, gf, rt, 3)
+    return _coupled(_h1_vec_value(vfes_t, nq1d, rt),
+                    _h1_vec_value(vfes_s, nq1d, rt),
+                    _skew3(Vq), gf, vfes_t.ndof, vfes_s.ndof)
+
+
+def mixed_scalar_cross_product(vfes, sfes, V, nq1d=None, dtype=None):
+    """(V × u, q) in 2D — V×u = V_x u_y − V_y u_x
+    (MixedScalarCrossProductIntegrator)."""
+    rt = real_t(dtype)
+    nq1d = nq1d or (vfes.order + 2)
+    gf = geom_factors_for(vfes, nq1d, dtype)
+    Vq = _vq(V, gf, rt, 2)
+    QD = jnp.stack([-Vq[..., 1], Vq[..., 0]], axis=-1)[:, :, None, :]
+    return _coupled(_h1_vec_value(vfes, nq1d, rt),
+                    _sc_pack(sfes, nq1d, rt),
+                    QD, gf, vfes.ndof, sfes.ndof_scalar)
+
+
+def mixed_directional_derivative(h1_fes, sfes, V, nq1d=None, dtype=None):
+    """(V·∇u, q): H1 trial → scalar test
+    (MixedDirectionalDerivativeIntegrator)."""
+    rt = real_t(dtype)
+    nq1d = nq1d or (h1_fes.order + 2)
+    gf = geom_factors_for(h1_fes, nq1d, dtype)
+    d = h1_fes.mesh.dim
+    Gphys = _scalar_grad(h1_fes, gf, nq1d, rt)        # (ne, nq, nd, d)
+    Vq = _vq(V, gf, rt, d)
+    return _coupled((h1_fes.gather_map, Gphys),
+                    _sc_pack(sfes, nq1d, rt),
+                    Vq[:, :, None, :], gf,
+                    h1_fes.ndof_scalar, sfes.ndof_scalar)
+
+
+def mixed_grad_grad(trial_fes, test_fes, coeff=1.0, nq1d=None, dtype=None):
+    """(λ ∇u, ∇v) across two (possibly different-order) H1 spaces
+    (MixedGradGradIntegrator)."""
+    rt = real_t(dtype)
+    nq1d = nq1d or (max(trial_fes.order, test_fes.order) + 2)
+    gf = geom_factors_for(trial_fes, nq1d, dtype)
+    d = trial_fes.mesh.dim
+    Gt = _scalar_grad(trial_fes, gf, nq1d, rt)
+    Gs = _scalar_grad(test_fes, gf, nq1d, rt)
+    ne, nq = gf.det.shape
+    eye = jnp.eye(d, dtype=rt)
+    if callable(coeff):
+        QD = jnp.asarray(coeff(gf.x), rt)[..., None, None] * eye
+    else:
+        QD = float(coeff) * jnp.broadcast_to(eye, (ne, nq, d, d))
+    return _coupled((trial_fes.gather_map, Gt),
+                    (test_fes.gather_map, Gs), QD, gf,
+                    trial_fes.ndof_scalar, test_fes.ndof_scalar)
+
+
+def mixed_cross_grad_grad(trial_fes, test_fes, V, nq1d=None, dtype=None):
+    """(V × ∇u, ∇v) on 3D H1 spaces (MixedCrossGradGradIntegrator)."""
+    rt = real_t(dtype)
+    nq1d = nq1d or (max(trial_fes.order, test_fes.order) + 2)
+    gf = geom_factors_for(trial_fes, nq1d, dtype)
+    Gt = _scalar_grad(trial_fes, gf, nq1d, rt)
+    Gs = _scalar_grad(test_fes, gf, nq1d, rt)
+    Vq = _vq(V, gf, rt, 3)
+    return _coupled((trial_fes.gather_map, Gt),
+                    (test_fes.gather_map, Gs), _skew3(Vq), gf,
+                    trial_fes.ndof_scalar, test_fes.ndof_scalar)
