@@ -221,13 +221,21 @@ def main():
         time.sleep(pause)
 
     wall, Tc, tc = timed_loop(steps, T1, t1)
-    per_step = wall / steps
-    dofs_per_s = fes.ndof / per_step
 
     # completion-signal self-check: timing must scale ~linearly in the
     # step count (a broken ready-event returns immediately and would not)
     wall2, Tc, tc = timed_loop(2 * steps, Tc, tc)
     scale_ok = 1.2 < wall2 / max(wall, 1e-12) < 3.3
+
+    if sync_steps:
+        per_step = wall / steps
+    else:
+        # slope estimate (wall2 − wall)/steps: cancels any constant
+        # end-of-chain sync latency (degraded-tunnel roundtrips were
+        # observed at multiple seconds on 2026-08-17), leaving the pure
+        # per-step device time
+        per_step = (wall2 - wall) / steps
+    dofs_per_s = fes.ndof / per_step
 
     baseline = None
     try:
