@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--structured", action="store_true",
                     help="run the Cartesian sharded path instead of the "
                          "generic one")
+    ap.add_argument("--cardiac-tet", action="store_true",
+                    help="rehearse on the REAL unstructured cardiac tet "
+                         "mesh (mesh/cardiac.py) instead of the lattice; "
+                         "--n is the cardiac resolution (66 ≈ 957k tets)")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -49,7 +53,31 @@ def main():
 
     n = args.n
     L = 0.04
-    mesh = make_cartesian_3d(n, n, n, L, L, L)
+    if args.cardiac_tet:
+        # deterministic (seed=0) — cache like bench.py to skip the
+        # multi-minute Delaunay rebuild between rehearsals
+        from cardiac_ablation_ecm2_tpu.fem.geometry import Geometry
+        from cardiac_ablation_ecm2_tpu.mesh.mesh import Mesh
+
+        path = f"/tmp/bench_mesh_cardiac-tet_{n}.npz"
+        if os.path.exists(path):
+            z = np.load(path)
+            mesh = Mesh(geom=Geometry(int(z["geom"])),
+                        vertices=z["vertices"], elements=z["elements"],
+                        attributes=z["attributes"], boundary=z["boundary"],
+                        bdr_attributes=z["bdr_attributes"])
+        else:
+            from cardiac_ablation_ecm2_tpu.mesh.cardiac import (
+                make_cardiac_tet_mesh)
+
+            mesh = make_cardiac_tet_mesh(n, lengths=(L, L, L / 2),
+                                         electrode_radius=0.004)
+            np.savez(path, geom=int(mesh.geom), vertices=mesh.vertices,
+                     elements=mesh.elements, attributes=mesh.attributes,
+                     boundary=mesh.boundary,
+                     bdr_attributes=mesh.bdr_attributes)
+    else:
+        mesh = make_cartesian_3d(n, n, n, L, L, L)
 
     def src(x):
         r2 = sum((x[..., i] - L / 2) ** 2 for i in range(3))
@@ -82,7 +110,8 @@ def main():
     out = sim.gather(T)
     ok = bool(np.isfinite(out).all())
     print(json.dumps({
-        "rehearsal": "structured" if args.structured else "generic",
+        "rehearsal": ("cardiac-tet" if args.cardiac_tet else
+                      "structured" if args.structured else "generic"),
         "ne": mesh.ne, "order": args.order, "ndev": args.ndev,
         "ndof": int(out.size), "setup_s": round(setup_s, 1),
         "compile_plus_step_s": round(step_s, 1),
