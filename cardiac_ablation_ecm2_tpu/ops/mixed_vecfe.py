@@ -517,3 +517,77 @@ def mixed_cross_grad_grad(trial_fes, test_fes, V, nq1d=None, dtype=None):
     return _coupled((trial_fes.gather_map, Gt),
                     (test_fes.gather_map, Gs), _skew3(Vq), gf,
                     trial_fes.ndof_scalar, test_fes.ndof_scalar)
+
+
+def _coupled_w(trial_pack, test_pack, QD, gf):
+    """Like ``_coupled`` but with (gather, table, pre, post, ndof) packs —
+    needed when a side is an ND/RT space with orientation signs."""
+    gt, Bt, pre_t, post_t, nt = trial_pack
+    gs, Bs, pre_s, post_s, ns = test_pack
+    ne, nq = gf.det.shape
+    # shared (nq, nd, c) tables broadcast across elements (3-dim means
+    # (ne, nq, nd) to the eval paths)
+    if Bt.ndim == 3 and Bt.shape[0] == nq:
+        Bt = jnp.broadcast_to(jnp.asarray(Bt)[None], (ne,) + Bt.shape)
+    if Bs.ndim == 3 and Bs.shape[0] == nq:
+        Bs = jnp.broadcast_to(jnp.asarray(Bs)[None], (ne,) + Bs.shape)
+    return MixedVecFEOperator(
+        g_trial=jnp.asarray(np.asarray(gt), index_t()),
+        g_test=jnp.asarray(np.asarray(gs), index_t()),
+        pre_trial=pre_t, post_trial=post_t,
+        pre_test=pre_s, post_test=post_s,
+        Bt=Bt, Bs=Bs, qd=QD * gf.wdet[..., None, None],
+        ndof_trial=nt, ndof_test=ns)
+
+
+def _nd_packs(space, nq1d, dtype, rt):
+    """(gf, value_pack, curl_pack) for an ND space with sign/transform
+    wraps included."""
+    gf, val, der = _vec_tables(space, nq1d, dtype)
+    g, pre, post, nd = _wrap(space, rt)
+    return gf, (g, val, pre, post, nd), (g, der, pre, post, nd)
+
+
+def mixed_cross_curl(nd_space, vfes, V, nq1d=3, dtype=None):
+    """(V × curl u, w): 3D ND trial → vector-H1 test
+    (MixedCrossCurlIntegrator, fem/bilininteg.hpp)."""
+    rt = real_t(dtype)
+    gf, _valp, curlp = _nd_packs(nd_space, nq1d, dtype, rt)
+    Vq = _vq(V, gf, rt, 3)
+    gs, Bs = _h1_vec_value(vfes, nq1d, rt)
+    return _coupled_w(curlp,
+                      (gs, Bs, _ident, _ident, vfes.ndof),
+                      _skew3(Vq), gf)
+
+
+def mixed_cross_grad(h1_fes, vfes, V, nq1d=None, dtype=None):
+    """(V × ∇u, w): 3D H1 trial → vector-H1 test
+    (MixedCrossGradIntegrator)."""
+    rt = real_t(dtype)
+    nq1d = nq1d or (h1_fes.order + 2)
+    gf = geom_factors_for(h1_fes, nq1d, dtype)
+    Gt = _scalar_grad(h1_fes, gf, nq1d, rt)
+    Vq = _vq(V, gf, rt, 3)
+    gs, Bs = _h1_vec_value(vfes, nq1d, rt)
+    return _coupled_w((h1_fes.gather_map, Gt, _ident, _ident,
+                       h1_fes.ndof_scalar),
+                      (gs, Bs, _ident, _ident, vfes.ndof),
+                      _skew3(Vq), gf)
+
+
+def mixed_scalar_weak_divergence(sfes, h1_fes, V, nq1d=None, dtype=None):
+    """−(V u, ∇w): scalar trial → H1 test
+    (MixedScalarWeakDivergenceIntegrator) — the weak form of
+    (div(V u), w) for interior test functions."""
+    rt = real_t(dtype)
+    nq1d = nq1d or (h1_fes.order + 2)
+    gf = geom_factors_for(h1_fes, nq1d, dtype)
+    d = h1_fes.mesh.dim
+    Gs = _scalar_grad(h1_fes, gf, nq1d, rt)
+    Vq = _vq(V, gf, rt, d)
+    Bt = _scalar_value(sfes, nq1d, rt)[..., None]
+    return _coupled_w((sfes.gather_map, Bt, _ident, _ident,
+                       sfes.ndof_scalar),
+                      (h1_fes.gather_map, Gs, _ident, _ident,
+                       h1_fes.ndof_scalar),
+                      -Vq[:, :, :, None], gf)

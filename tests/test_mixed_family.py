@@ -114,3 +114,70 @@ def test_cross_grad_grad_antisymmetric():
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.standard_normal(S.ndof_scalar))
     assert abs(float(op.mult(u) @ u)) < 1e-11
+
+
+def test_cross_curl_polynomial():
+    """(V × curl u, w) on ND1: u = (z, x, y) has curl = (1, 1, 1), so the
+    result is the constant field V × (1,1,1)."""
+    from cardiac_ablation_ecm2_tpu.fem.fe_vector_ho import NDSpaceHO
+    from cardiac_ablation_ecm2_tpu.ops.mixed_vecfe import mixed_cross_curl
+    from cardiac_ablation_ecm2_tpu.ops.vecfe import (build_nd_operator,
+                                                     vecfe_linear_form)
+
+    mesh = make_cartesian_3d(2, 2, 2)
+    nd = NDSpaceHO(mesh, 1)
+    V3 = FESpace(mesh, 1, vdim=3)
+    V = np.array([1.0, 2.0, 3.0])
+
+    # project u = (z, x, y) onto ND via a mass solve
+    from cardiac_ablation_ecm2_tpu.linalg.solvers import cg
+
+    op = build_nd_operator(nd, mass_coeff=1.0, nq1d=3)
+    b = vecfe_linear_form(op, lambda x: np.stack(
+        [x[..., 2], x[..., 0], x[..., 1]], axis=-1))
+    u, info = cg(op.mult, b, M=lambda r: r / op.diagonal(), rel_tol=1e-13,
+                 max_iter=2000)
+    assert bool(info.converged)
+
+    cc = mixed_cross_curl(nd, V3, V, nq1d=3)
+    got = np.asarray(cc.mult(u))
+    w = np.cross(V, np.array([1.0, 1.0, 1.0]))
+    want = np.asarray(domain_lf_vector(V3, w, nq1d=3))
+    assert np.allclose(got, want, atol=1e-10)
+
+
+def test_cross_grad_polynomial():
+    """(V × ∇u, w) with u = x + 2y + 3z: ∇u constant, result constant."""
+    from cardiac_ablation_ecm2_tpu.ops.mixed_vecfe import mixed_cross_grad
+
+    mesh = make_cartesian_3d(2, 2, 2)
+    S = FESpace(mesh, 1)
+    V3 = FESpace(mesh, 1, vdim=3)
+    V = np.array([0.5, -1.0, 2.0])
+    X = np.asarray(S.dof_coords)
+    u = jnp.asarray(X[:, 0] + 2 * X[:, 1] + 3 * X[:, 2])
+    op = mixed_cross_grad(S, V3, V)
+    got = np.asarray(op.mult(u))
+    want = np.asarray(domain_lf_vector(
+        V3, np.cross(V, np.array([1.0, 2.0, 3.0])), nq1d=3))
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_scalar_weak_divergence_adjoint():
+    """−(V u, ∇w) is the negative adjoint of the directional derivative
+    (V·∇w, u)."""
+    from cardiac_ablation_ecm2_tpu.ops.mixed_vecfe import (
+        mixed_scalar_weak_divergence)
+
+    mesh = make_cartesian_2d(3, 3)
+    S = FESpace(mesh, 1)
+    T = FESpace(mesh, 2)
+    V = np.array([1.5, -0.5])
+    wd = mixed_scalar_weak_divergence(S, T, V, nq1d=4)
+    dd = mixed_directional_derivative(T, S, V, nq1d=4)
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.standard_normal(S.ndof_scalar))
+    w = jnp.asarray(rng.standard_normal(T.ndof_scalar))
+    a = float(wd.mult(u) @ w)
+    b = float(u @ dd.mult(w))
+    assert abs(a + b) < 1e-12 * max(abs(a), 1.0)
