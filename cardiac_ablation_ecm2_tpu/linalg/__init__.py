@@ -1,4 +1,4 @@
-from .solvers import cg, gmres, power_method, default_dot, SolveInfo
+from .solvers import cg, cg_merged, gmres, power_method, default_dot, SolveInfo
 from .smoothers import jacobi, chebyshev
 from . import ode
 from .newton import newton, NewtonInfo
