@@ -197,8 +197,7 @@ def schur_constrained_solve(
 
     dA = jnp.ones(n, f.dtype) if Adiag is None else jnp.asarray(Adiag, f.dtype)
     # diag(B diag(A)⁻¹ Bᵀ) computed row-wise on the padded lanes
-    dS = ((np.ones(1, f.dtype) * 0) +
-          (B.val * B.val / dA[B.idx]).sum(axis=1))
+    dS = (B.val * B.val / dA[B.idx]).sum(axis=1)
     dS = jnp.where(dS > 0, dS, 1.0)
 
     def prec(z):
