@@ -17,9 +17,10 @@ def test_rates_synthetic():
         cs.add_level(3.0 * h ** 2, int((1 / h) ** 2), h=h)
     assert np.allclose(cs.rates(), 2.0)
     assert abs(cs.rate() - 2.0) < 1e-12
+    assert cs.nlevels == 4
     buf = io.StringIO()
     cs.print(buf)
-    assert "rate" in buf.getvalue() and "2.000" in buf.getvalue()
+    assert "rate" in buf.getvalue() and "2.00" in buf.getvalue()
 
 
 def test_poisson_ladder_rate():
@@ -40,4 +41,4 @@ def test_poisson_ladder_rate():
         return float(err), res.fes.ndof
 
     cs = study(solve, [4, 8, 16], dim=2)
-    assert cs.rate() > 2.7, (cs.errors(), cs.rates())
+    assert cs.rate() > 2.7, (cs.errors, cs.rates())
