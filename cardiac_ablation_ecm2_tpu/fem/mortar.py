@@ -42,7 +42,7 @@ def _face_basis(geom: Geometry, p: int, pts: np.ndarray):
     if geom == Geometry.SEGMENT:
         B1, G1 = lagrange_matrices(h1_nodes_1d(p), pts[:, 0])
         return B1, G1[..., None]
-    if geom == Geometry.QUAD:
+    if geom == Geometry.SQUARE:
         Bx, Gx = lagrange_matrices(h1_nodes_1d(p), pts[:, 0])
         By, Gy = lagrange_matrices(h1_nodes_1d(p), pts[:, 1])
         # lex order: i = ix + (p+1)*iy
@@ -246,7 +246,7 @@ def _face_rule(geom: Geometry, order: int):
     if geom == Geometry.SEGMENT:
         x, w = gauss_legendre_1d(order + 2)
         return x[:, None], w
-    if geom == Geometry.QUAD:
+    if geom == Geometry.SQUARE:
         x, w = gauss_legendre_1d(order + 2)
         P = np.stack([np.repeat(x, len(x)), np.tile(x, len(x))], axis=1)
         return P, np.outer(w, w).ravel()
@@ -324,6 +324,34 @@ def build_mortar_constraints(
 
             q1, w1 = _split_gauss_1d(0.0, 1.0, breaks, qref0[:, 0], qw0)
             qref, qw = q1[:, None], w1
+        elif bgeom == Geometry.SQUARE:
+            # 3D mortar segmentation: tensor-split the slave reference
+            # square at the projections of nearby master-face corners.
+            # For lattice-like flat interfaces the master-trace kinks are
+            # iso-lines of the slave parametrization through those
+            # projections, so sub-rectangle Gauss is exact (the 2D analog
+            # of the segment splits); for irregular interfaces the splits
+            # still track the kink locations to first order.
+            from .cutcells import _split_gauss_1d
+            from .intrules import gauss_legendre_1d
+
+            sc = Cs.mean(axis=0)
+            near = np.nonzero(((sc >= lo) & (sc <= hi)).all(axis=1))[0]
+            bu, bv = [], []
+            for ci in near:
+                for vtx in mC[ci][[0, p, -1 - p, -1]]:
+                    xi, dist = _closest_point(bgeom, p, Cs, vtx)
+                    if dist <= max_pair_dist:
+                        if 1e-9 < xi[0] < 1 - 1e-9:
+                            bu.append(float(xi[0]))
+                        if 1e-9 < xi[1] < 1 - 1e-9:
+                            bv.append(float(xi[1]))
+            x1g, w1g = gauss_legendre_1d(p + 2)
+            qu, wu = _split_gauss_1d(0.0, 1.0, bu, x1g, w1g)
+            qv, wv = _split_gauss_1d(0.0, 1.0, bv, x1g, w1g)
+            qref = np.stack([np.repeat(qu, len(qv)),
+                             np.tile(qv, len(qu))], axis=1)
+            qw = np.outer(wu, wv).ravel()
         else:
             qref, qw = qref0, qw0
         Bq, Gq = _face_basis(bgeom, p, qref)   # (nq, nd), (nq, nd, rdim)
