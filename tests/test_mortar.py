@@ -311,3 +311,39 @@ def test_mortar_3d_patch_test():
     exact = np.concatenate([a * X[:, 0], a * X[:, 1], -4 * a * X[:, 2]])
     err = np.abs(np.asarray(u) - exact).max()
     assert err < 1e-9 * np.abs(exact).max(), err
+
+
+def test_mortar_patch_test_order2():
+    """Order-2 non-matching mortar is also patch-test exact (quadratic
+    trace products integrated exactly on the mortar segments)."""
+    from cardiac_ablation_ecm2_tpu.fem.mortar import build_mortar_constraints
+
+    fes, A_bc, b, diag, exact = _patch_setup(3, 5, 3)
+    mesh = fes.mesh
+    fes2 = FESpace(mesh, 2, vdim=2)
+    ns = fes2.ndof_scalar
+    A = BilinearForm(fes2).add_domain_integrator(
+        "elasticity", coeff=(1.0, 1.0)).assemble()
+    t_load = 0.08
+    b2 = boundary_lf_vector(fes2, np.array([0.0, -t_load]), bdr_marker=[3])
+    bot = fes2.essential_dofs([1])
+    left = np.concatenate([fes2.essential_dofs([4]),
+                           fes2.essential_dofs([14])])
+    fm = jnp.zeros(fes2.ndof).at[
+        jnp.asarray(np.concatenate([bot + ns, left]))].set(1.0)
+    free = 1.0 - fm
+
+    def A_bc2(v):
+        z = v * free
+        return A.mult(z) * free + (v - z)
+
+    pair = build_mortar_constraints(fes2, [7], [8], max_pair_dist=0.3)
+    diag2 = A.diagonal() * free + fm
+    u, _, info = eliminate_constrained_solve(
+        A_bc2, pair.B, b2 * free, M=lambda v: v / diag2, rel_tol=1e-13,
+        max_iter=12000)
+    assert bool(info.converged)
+    X = np.asarray(fes2.dof_coords)
+    exact2 = np.concatenate([t_load / 8 * X[:, 0], -3 * t_load / 8 * X[:, 1]])
+    err = np.abs(np.asarray(u) - exact2).max()
+    assert err < 1e-9 * np.abs(exact2).max(), err
