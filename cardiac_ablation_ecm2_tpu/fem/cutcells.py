@@ -313,3 +313,39 @@ def integrate(points: np.ndarray, weights: np.ndarray,
     contract the (ne, nq_max) weights with field values directly instead."""
     vals = np.asarray(fn(np.asarray(points, np.float64)), np.float64)
     return float(np.sum(np.asarray(weights, np.float64) * vals))
+
+
+def _basis_at_ref(geom, p: int, ref: np.ndarray) -> np.ndarray:
+    """Nodal H1 basis values at per-element reference points
+    (ne, nq, dim) → (ne, nq, nd), lattice dof order (the fespace order)."""
+    from .basis import h1_nodes_1d, lagrange_matrices, lattice_multi_index
+
+    mi = lattice_multi_index(geom, p)
+    ne, nq, dim = ref.shape
+    flat = ref.reshape(-1, dim)
+    B1 = [lagrange_matrices(h1_nodes_1d(p), flat[:, d])[0]
+          for d in range(dim)]                        # (ne*nq, p+1) each
+    B = np.ones((flat.shape[0], len(mi)))
+    for d in range(dim):
+        B *= B1[d][:, mi[:, d]]
+    return B.reshape(ne, nq, len(mi))
+
+
+def cut_linear_form(fes, points: np.ndarray, weights: np.ndarray,
+                    fn: Callable = None):
+    """Assemble b_j = Σ_{e,q} w_eq f(x_eq) φ_j(x_eq) from a cut rule
+    (``cut_volume_rule`` / ``cut_surface_rule``) — the linear forms ex38
+    builds on implicit subdomains/interfaces.  Axis-aligned Cartesian
+    elements (the rules' own restriction); returns a device L-vector."""
+    import jax.numpy as jnp
+
+    mesh = fes.mesh
+    lo, hi = _cell_boxes(mesh)
+    ref = (points - lo[:, None]) / (hi - lo)[:, None]
+    B = _basis_at_ref(mesh.geom, fes.order, ref)       # (ne, nq, nd)
+    fq = (np.ones(weights.shape) if fn is None
+          else np.asarray(fn(points)))
+    contrib = jnp.asarray(np.einsum("eq,eqn->en", weights * fq, B))
+    out = jnp.zeros(fes.ndof_scalar, dtype=contrib.dtype)
+    return out.at[jnp.asarray(np.asarray(fes.gather_map)).reshape(-1)].add(
+        contrib.reshape(-1))

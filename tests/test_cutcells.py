@@ -95,3 +95,45 @@ def test_inside_negative_complements():
     _, wp = cut_volume_rule(mesh, phi, order=5, inside="positive")
     _, wn = cut_volume_rule(mesh, phi, order=5, inside="negative")
     assert abs(float(wp.sum() + wn.sum()) - 16.0) < 1e-9
+
+
+def test_cut_linear_form_exact_moments():
+    """b_j = ∫_{φ>0} f φ_j reproduces exact integrals of interpolated
+    fields: 1·b = area, u_I(g)·b = ∫ g for linear g (the cut linear forms
+    of ex38)."""
+    import jax.numpy as jnp
+
+    from cardiac_ablation_ecm2_tpu.fem import FESpace
+    from cardiac_ablation_ecm2_tpu.fem.cutcells import cut_linear_form
+
+    phi = lambda x: 1.0 - (x[..., 0] ** 2 + x[..., 1] ** 2)
+    mesh = _centered(make_cartesian_2d(8, 8, 4.0, 4.0), 4.0)
+    fes = FESpace(mesh, 2)
+    pts, wts = cut_volume_rule(mesh, phi, order=6)
+    b = cut_linear_form(fes, pts, wts)
+    assert abs(float(b.sum()) - np.pi) < 1e-7            # partition of unity
+    X = np.asarray(fes.dof_coords)
+    g = jnp.asarray(2.0 + 3.0 * X[:, 0] - 1.0 * X[:, 1])  # linear field
+    # odd moments over the centered disk vanish: ∫ g = 2·area
+    assert abs(float(g @ b) - 2 * np.pi) < 1e-7
+    # weighted f: ∫_{φ>0} x² = π/4 for the unit disk
+    bx2 = cut_linear_form(fes, pts, wts, fn=lambda x: x[..., 0] ** 2)
+    assert abs(float(bx2.sum()) - np.pi / 4) < 1e-7
+
+
+def test_cut_surface_linear_form():
+    """Surface version: Σ_j b_j = perimeter; linear moments vanish."""
+    import jax.numpy as jnp
+
+    from cardiac_ablation_ecm2_tpu.fem import FESpace
+    from cardiac_ablation_ecm2_tpu.fem.cutcells import cut_linear_form
+
+    phi = lambda x: 1.0 - (x[..., 0] ** 2 + x[..., 1] ** 2)
+    mesh = _centered(make_cartesian_2d(8, 8, 4.0, 4.0), 4.0)
+    fes = FESpace(mesh, 1)
+    pts, wts = cut_surface_rule(mesh, phi, order=6)
+    b = cut_linear_form(fes, pts, wts)
+    assert abs(float(b.sum()) - 2 * np.pi) < 1e-6
+    X = np.asarray(fes.dof_coords)
+    g = jnp.asarray(X[:, 0] + X[:, 1])
+    assert abs(float(jnp.asarray(g) @ b)) < 1e-6
