@@ -260,7 +260,7 @@ def main():
     # plausibility guard: < 2 ms/step at ~1M dofs exceeds the HBM roofline
     # several-fold — flags broken completion signals (e.g. tunnel outages)
     suspect = (per_step < 2e-3 and fes.ndof > 5e5) or not scale_ok
-    print(json.dumps({
+    return {
         "metric": "bioheat_implicit_timestep_dofs_per_s_per_chip",
         "value": dofs_per_s,
         "unit": "DOF/s",
@@ -277,8 +277,36 @@ def main():
             "path": "unstructured" if unstructured else "structured",
             "mesh": mesh_kind,
         },
-    }))
+    }
 
 
 if __name__ == "__main__":
-    main()
+    # the axon tunnel flaps between healthy, lying-completion-signal, and
+    # hard-fault states (2026-08-17/18); retry so one bad window doesn't
+    # record a broken measurement.  ONE json line is printed either way.
+    import sys
+    import traceback
+
+    retries = int(os.environ.get("BENCH_RETRIES", "3"))
+    wait = float(os.environ.get("BENCH_RETRY_WAIT", "120"))
+    result = None
+    for k in range(retries):
+        try:
+            result = main()
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            result = None
+        if result is not None and not result["suspect_timing"]:
+            break
+        if k + 1 < retries:
+            print(f"bench attempt {k + 1} unusable; retrying in {wait}s",
+                  file=sys.stderr)
+            time.sleep(wait)
+    if result is None:
+        result = {
+            "metric": "bioheat_implicit_timestep_dofs_per_s_per_chip",
+            "value": 0.0, "unit": "DOF/s", "vs_baseline": 0.0,
+            "suspect_timing": True,
+            "extra": {"error": "all attempts raised (device/tunnel fault)"},
+        }
+    print(json.dumps(result))
