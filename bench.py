@@ -112,19 +112,15 @@ def main():
         # structured Cartesian space: gather-free restriction (fast path)
         fes = CartesianFESpace(mesh, order, (n, n, n), (L, L, L))
 
-    src_ctr = (L / 2, L / 2, L / 2 if not cardiac else L / 2)
+    # lattice: broad metabolic-style Gaussian; cardiac: SAR source at the
+    # electrode tip (mesh/cardiac.py)
+    ctr = (L / 2, L / 2, L / 2)
+    amp, width2 = ((2e7, 2 * 0.003**2) if cardiac
+                   else (1e6, (L / 8) ** 2))
 
     def src(x):
-        r2 = sum((x[..., i] - src_ctr[i]) ** 2 for i in range(3))
-        return 1e6 * jnp.exp(-r2 / (L / 8) ** 2)
-
-    if cardiac:
-        # Gaussian SAR source at the electrode tip (mesh/cardiac.py)
-        ctr = (L / 2, L / 2, L / 2)
-
-        def src(x):  # noqa: F811
-            r2 = sum((x[..., i] - ctr[i]) ** 2 for i in range(3))
-            return 2e7 * jnp.exp(-r2 / (2 * 0.003**2))
+        r2 = sum((x[..., i] - ctr[i]) ** 2 for i in range(3))
+        return amp * jnp.exp(-r2 / width2)
 
     # BENCH_HOST_SETUP=1: build the operator on the CPU backend so the
     # step-jit's embedded constants need no TPU device->host fetch (a

@@ -175,6 +175,11 @@ def affine_packed_factors(J: np.ndarray):
     diffusion factors adj(J)·adj(J)ᵀ/detJ (diffusion qdata is w_q·dk·coeff).
     Packing order matches ``ops.diffusion.pack_sym``."""
     det, A = _np_det_adj(J)
+    # SIGNED det, exactly like the general square-Jacobian qdata path
+    # (geom_factors.determinant): both paths assume positively-oriented
+    # elements (the reference makes the same assumption and fixes
+    # orientation at mesh load); keeping the sign preserves bit-parity
+    # between the affine collapse and the full qdata path.
     d = J.shape[-1]
     pairs = ([(0, 0), (1, 1), (0, 1)] if d == 2 else
              [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)])

@@ -301,6 +301,7 @@ def build_mortar_constraints(
     # in tied mode, one per slave dof in normal mode
     acc = [dict() for _ in range(nrow * (1 if normal_only else vdim))]
     gaps = np.zeros(nrow)
+    nrm_acc = np.zeros((nrow, mesh.dim))
 
     for fi, f in enumerate(sfaces):
         Cs = coords[gmap[f]]                   # (nd, sdim)
@@ -313,7 +314,11 @@ def build_mortar_constraints(
             d01 = s1 - s0
             L2 = float(d01 @ d01)
             breaks = []
-            for ci in range(len(mC)):
+            slo = Cs.min(axis=0) - max_pair_dist
+            shi = Cs.max(axis=0) + max_pair_dist
+            near2 = np.nonzero((mC.min(axis=1) <= shi).all(axis=1)
+                               & (mC.max(axis=1) >= slo).all(axis=1))[0]
+            for ci in near2:
                 for vtx in (mC[ci][0], mC[ci][-1]):
                     t = float((vtx - s0) @ d01) / L2
                     if 1e-9 < t < 1 - 1e-9:
@@ -392,6 +397,7 @@ def build_mortar_constraints(
                 if normal_only:
                     row = acc[ri]
                     gaps[ri] += w[q] * psi * float(nrm @ (x - xm))
+                    nrm_acc[ri] += w[q] * psi * nrm
                     for c in range(vdim):
                         for j_loc, sj in enumerate(gmap[f]):
                             if abs(Bq[q, j_loc]) > 1e-14:
@@ -422,6 +428,9 @@ def build_mortar_constraints(
     B = from_rows([[(k, v) for k, v in r] for r in rows], fes.ndof,
                   dtype=dtype)
     if normal_only:
-        return MortarPairing(B=B, gaps=gaps[kept], normals=fnormals,
+        nn = nrm_acc[kept]
+        nn = nn / np.maximum(np.linalg.norm(nn, axis=1, keepdims=True),
+                             1e-300)
+        return MortarPairing(B=B, gaps=gaps[kept], normals=nn,
                              slave_dofs=sdofs)
     return MortarPairing(B=B, slave_dofs=sdofs)

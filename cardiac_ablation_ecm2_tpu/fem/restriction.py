@@ -195,7 +195,12 @@ class FastElementRestriction(ElementRestriction):
         tgT = build_gather(flatT)
         ts, t_perm, starts, mult = build_scatter(flat)
         tsT, t_permT, _, _ = build_scatter(flatT)
-        t_head = build_gather_idx(starts, flat.size)
+        # zero-multiplicity dofs must read a zero, not the next dof's
+        # segment head: point them at a sentinel slot past the data
+        # (the scan path pads x with one trailing zero before this gather)
+        heads = starts.copy()
+        heads[np.bincount(flat, minlength=ndof) == 0] = flat.size
+        t_head = build_gather_idx(heads, flat.size + 1)
         return FastElementRestriction(
             ndof=base.ndof, gather=base.gather, perm=base.perm,
             seg_ids=base.seg_ids, tg=tg, ts=ts, tgT=tgT, tsT=tsT,
@@ -225,6 +230,8 @@ class FastElementRestriction(ElementRestriction):
                 [jnp.where(same, x[s:], 0), jnp.zeros((s,), x.dtype)]
             )
             s *= 2
+        # trailing zero = the sentinel slot zero-multiplicity dofs read
+        x = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
         return bg.apply(x, self.t_head)
 
     def mult_transpose(self, u_e: jnp.ndarray) -> jnp.ndarray:

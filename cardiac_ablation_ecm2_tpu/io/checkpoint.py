@@ -128,21 +128,20 @@ def _vertex_dof_values(fes, u):
     if getattr(fes, "order", 1) == 1:
         vmap = _vertex_dof_map(fes)
         return u[..., vmap] if u.ndim > 1 else u[vmap]
-    # higher order: restrict to vertices (visualization-grade, lossy)
-    from ..fem.fespace import element_node_coords
+    # higher order: restrict to vertices (visualization-grade, lossy).
+    # Per-VERTEX lattice positions: vertex v of the reference element sits
+    # at lattice multi-index REF_VERTS[v]·p (io/vtu.vertex_values pattern).
+    from ..fem.basis import lattice_multi_index
+    from ..fem.geometry import NUM_VERTS, REF_VERTS
 
-    X0 = element_node_coords(mesh, fes.order)[0]
-    import numpy as _np
-
-    V0 = mesh.vertices[mesh.elements[0]]
-    vtx_of_dof = _np.array([
-        int(_np.argmin(((V0 - X0[n]) ** 2).sum(axis=1)))
-        for n in range(X0.shape[0])
-    ])
-    pos_of_vtx = _np.argsort(vtx_of_dof)
-    out = _np.zeros(mesh.nv, dtype=u.dtype)
+    mi = lattice_multi_index(mesh.geom, fes.order)
+    lookup = {tuple(r): i for i, r in enumerate(mi)}
+    latt_v = np.rint(REF_VERTS[mesh.geom] * fes.order).astype(np.int64)
     gm = fes.gather_map
-    out[mesh.elements.reshape(-1)] = u[gm[:, pos_of_vtx].reshape(-1)]
+    out = np.zeros(u.shape[:-1] + (mesh.nv,), dtype=u.dtype)
+    for lv in range(NUM_VERTS[mesh.geom]):
+        n = lookup[tuple(latt_v[lv])]
+        out[..., mesh.elements[:, lv]] = u[..., gm[:, n]]
     return out
 
 
@@ -171,8 +170,8 @@ def save_visit(path: str, name: str, mesh, fields: Dict[str, tuple],
             f.write("FiniteElementSpace\n")
             f.write(f"FiniteElementCollection: H1_{mesh.dim}D_P1\n")
             f.write(f"VDim: {vdim}\nOrdering: 0\n\n")
-            flat = vals.reshape(-1) if vals.ndim == 1 else \
-                vals.reshape(vdim, -1).T.reshape(-1)   # byNODES
+            # byNODES (Ordering: 0) = all X values, then all Y, then Z
+            flat = vals.reshape(-1)
             for v in flat:
                 f.write(f"{float(v)!r}\n")
         fjson[fname] = {
@@ -217,7 +216,7 @@ def load_visit(root_path: str):
         vals = np.array([float(x) for x in lines[i:] if x.strip()])
         comps = int(spec["tags"].get("comps", "1"))
         if comps > 1:
-            vals = vals.reshape(-1, comps).T
+            vals = vals.reshape(comps, -1)     # byNODES (Ordering: 0)
         fields[fname] = vals
     meta = {"cycle": main["cycle"], "time": main["time"],
             "time_step": main.get("time_step", 0.0)}

@@ -36,6 +36,8 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import weakref
+
 import numpy as np
 
 from ..fem.quadinterp import DeviceBasis
@@ -75,15 +77,32 @@ class LaneBasis:
         return self.Bf.shape[0]
 
 
-# Keyed by id(db); values hold a strong ref to db so ids are never reused.
+# Keyed by id(db); a weakref with an eviction callback detects id reuse
+# and lets the DeviceBasis (and its device matrices) be collected — strong
+# caching here was measured to pin one LaneBasis per FESpace for the
+# process lifetime in AMR/convergence loops.
 _CACHE: dict = {}
+
+
+def _cache_put(cache, db, value):
+    key = id(db)
+    cache[key] = (weakref.ref(db, lambda _r, k=key, c=cache:
+                              c.pop(k, None)), value)
+    return value
+
+
+def _cache_get(cache, db):
+    hit = cache.get(id(db))
+    if hit is not None and hit[0]() is db:
+        return hit[1]
+    return None
 
 
 def lane_basis(db: DeviceBasis) -> LaneBasis:
     """Build (and cache) the full matrices for a device basis."""
-    hit = _CACHE.get(id(db))
+    hit = _cache_get(_CACHE, db)
     if hit is not None:
-        return hit[1]
+        return hit
     if db.tensor:
         B1 = np.asarray(db.B1)
         G1 = np.asarray(db.G1)
@@ -112,8 +131,7 @@ def lane_basis(db: DeviceBasis) -> LaneBasis:
         lb = LaneBasis(dim=db.dim, Bf=db.B, G=G,
                        S=jnp.concatenate((db.B,) + G, axis=0),
                        SG=jnp.concatenate(G, axis=0))
-    _CACHE[id(db)] = (db, lb)
-    return lb
+    return _cache_put(_CACHE, db, lb)
 
 
 def supports(db: DeviceBasis, qdata=None, kind: str = "",
@@ -272,9 +290,9 @@ _AFF_CACHE: dict = {}
 
 def affine_ops(db: DeviceBasis) -> AffineOps:
     """Build (and cache) ŴBᵀ-style reference matrices; f64 quad-point sums."""
-    hit = _AFF_CACHE.get(id(db))
+    hit = _cache_get(_AFF_CACHE, db)
     if hit is not None:
-        return hit[1]
+        return hit
     lb = lane_basis(db)
     Bf = np.asarray(lb.Bf, np.float64)
     G = [np.asarray(g, np.float64) for g in lb.G]
@@ -297,8 +315,7 @@ def affine_ops(db: DeviceBasis) -> AffineOps:
     Chat = tuple(jnp.asarray(Bf.T @ (W[:, None] * g), dt) for g in G)
     af = AffineOps(dim=dim, Mhat=jnp.asarray(Mhat, dt),
                    Khat=tuple(Khat), Chat=Chat)
-    _AFF_CACHE[id(db)] = (db, af)
-    return af
+    return _cache_put(_AFF_CACHE, db, af)
 
 
 def separable_collapse(qT: jnp.ndarray, W: jnp.ndarray,

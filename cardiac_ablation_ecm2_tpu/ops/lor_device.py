@@ -83,8 +83,7 @@ def lor_element_matrices(fes, diffusion_coeff=1.0, mass_coeff=None,
             D = D * kd
         A_e = jnp.einsum("qma,eqab,qnb->emn", G, D, G)
     if km is not None:
-        q = w[None, :] * gf.det
-        q = q * km if km.ndim == 0 else q * km
+        q = w[None, :] * gf.det * km
         A_e = (0.0 if A_e is None else A_e) + jnp.einsum(
             "qm,eq,qn->emn", B, q, B)
     gm = fes.gather_map.astype(np.int64)                  # (ne, nd)

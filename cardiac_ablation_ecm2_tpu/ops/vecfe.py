@@ -377,6 +377,24 @@ def discrete_divergence(rt_space: RTSpace, l2_fes=None):
     return D
 
 
+def vertex_dof_positions(mesh) -> np.ndarray:
+    """Per-element local-dof position of each element VERTEX in the lex
+    order-1 dof ordering: dofpos[v] = lex node index of vertex v (shared by
+    the AMS tables, the vertex dof map, and VisIt restriction)."""
+    from ..fem.fespace import element_node_coords
+
+    X0 = element_node_coords(mesh, 1)[0]
+    V0 = mesh.vertices[mesh.elements[0]]
+    vtx_of_dof = np.array([
+        int(np.argmin(((V0 - X0[n]) ** 2).sum(axis=1)))
+        for n in range(X0.shape[0])
+    ])
+    assert len(np.unique(vtx_of_dof)) == len(vtx_of_dof)
+    dofpos = np.empty_like(vtx_of_dof)
+    dofpos[vtx_of_dof] = np.arange(len(vtx_of_dof))
+    return dofpos
+
+
 def _vertex_dof_map(h1_fes) -> np.ndarray:
     """vertex id → H1 order-1 scalar dof id.
 

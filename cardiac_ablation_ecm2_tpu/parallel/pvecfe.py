@@ -150,15 +150,10 @@ def _ams_tables(space, mesh, pf, ndev, mass_coeff, curlcurl_coeff, ess_bdr,
     pf_h1 = pbuild(h1, ndev, parts=pf.parts)
 
     # local-dof position of each element vertex (lex dof order is a
-    # permutation of the vertex order — see ops/vecfe._vertex_dof_map)
-    X0 = element_node_coords(mesh, 1)[0]
-    V0 = mesh.vertices[mesh.elements[0]]
-    vtx_of_dof = np.array([
-        int(np.argmin(((V0 - X0[n]) ** 2).sum(axis=1)))
-        for n in range(X0.shape[0])
-    ])
-    dofpos = np.empty_like(vtx_of_dof)
-    dofpos[vtx_of_dof] = np.arange(len(vtx_of_dof))
+    # permutation of the vertex order)
+    from ..ops.vecfe import vertex_dof_positions
+
+    dofpos = vertex_dof_positions(mesh)
     loc_edges = np.array(EDGES[mesh.geom])
     ua_idx = dofpos[loc_edges[:, 0]]
     ub_idx = dofpos[loc_edges[:, 1]]

@@ -47,3 +47,29 @@ def test_fast_restriction_2d():
 
 def test_fast_restriction_3d():
     _check_space(FESpace(make_cartesian_3d(3, 4, 2), 2))
+
+
+def test_fast_restriction_zero_multiplicity_dofs():
+    """E→L scan-scatter path: dofs untouched by the gather map must get
+    exactly 0, not a neighbor's segment sum (regression: sentinel head)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cardiac_ablation_ecm2_tpu.fem.restriction import (
+        ElementRestriction, FastElementRestriction)
+
+    rng = np.random.default_rng(5)
+    ndof = 200
+    # only even dofs used; multiplicity ~16 forces the scan-scatter path
+    gm = (2 * rng.integers(0, ndof // 2, size=(100, 16))).astype(np.int64)
+    fr = FastElementRestriction.from_map(gm, ndof)
+    assert fr.ts is None, "test requires the scan-scatter path"
+    er = ElementRestriction.from_map(gm, ndof)
+    u_e = jnp.asarray(rng.standard_normal(gm.shape))
+    a = np.asarray(fr.mult_transpose(u_e))
+    b = np.asarray(er.mult_transpose(u_e))
+    assert np.allclose(a, b, atol=1e-12)
+    assert np.all(a[1::2] == 0.0)
+    # transposed-layout variant too
+    aT = np.asarray(fr.mult_transpose_t(jnp.transpose(u_e)))
+    assert np.allclose(aT, b, atol=1e-12)
