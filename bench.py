@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -181,7 +182,7 @@ def main():
     T = jnp.zeros(fes.ndof, dtype=jnp.dtype(dtype))
     t, dt = jnp.asarray(0.0, T.dtype), jnp.asarray(0.25, T.dtype)
 
-    # BENCH_SYNC_STEPS=1: block after every step instead of chaining the
+    # BENCH_SYNC_STEPS=1: sync after every step instead of chaining the
     # whole timing loop.  The axon tunnel aborts on several queued ~100 ms
     # dispatches at the 1M-element scale (observed 2026-08-17 at n=66:
     # warmup fine, chained loop dies with "TPU device error"); per-step
@@ -197,40 +198,64 @@ def main():
     if pause > 0:
         sync_steps = True
 
-    def timed_loop(nsteps, Tc, tc):
+    # completion barrier: the tunnel's ready-events LIE under degraded d2h
+    # (observed 2026-08-18: block_until_ready returns ~0 while an actual
+    # value fetch takes the real compute time) — so sync via a 1-element
+    # device->host readback, which cannot complete before the computation.
+    first = jax.jit(lambda a: a[:1])
+
+    def barrier(Tc):
+        np.asarray(first(Tc))
+
+    def timed_loop(nsteps, Tc, tc, sync):
         total = 0.0
         for _ in range(nsteps):
             t0 = time.perf_counter()
             Tc, tc = step(Tc, tc, dt)
-            if sync_steps:
-                jax.block_until_ready(Tc)
+            if sync:
+                barrier(Tc)
             total += time.perf_counter() - t0
             if pause > 0:
                 time.sleep(pause)
-        jax.block_until_ready(Tc)
+        t0 = time.perf_counter()
+        barrier(Tc)
+        total += time.perf_counter() - t0
         return total, Tc, tc
 
-    # warmup / compile
+    # warmup / compile (step + the barrier gather)
     T1, t1 = step(T, t, dt)
-    jax.block_until_ready(T1)
+    barrier(T1)
     if pause > 0:
         time.sleep(pause)
 
-    wall, Tc, tc = timed_loop(steps, T1, t1)
+    def measure(sync):
+        # slope estimate (wall2 − wall)/steps on two loop lengths: cancels
+        # the constant end-of-chain readback roundtrip (multi-second on a
+        # degraded tunnel), leaving the pure per-step device time.  In sync
+        # mode each step carries its own roundtrip — honest upper bound.
+        wall, Tc, tc = timed_loop(steps, T1, t1, sync)
+        wall2, Tc, tc = timed_loop(2 * steps, Tc, tc, sync)
+        scale_ok = 1.2 < wall2 / max(wall, 1e-12) < 3.3
+        if sync:
+            per = (wall + wall2) / (3 * steps)
+        else:
+            per = (wall2 - wall) / steps
+        return per, scale_ok, Tc
 
-    # completion-signal self-check: timing must scale ~linearly in the
-    # step count (a broken ready-event returns immediately and would not)
-    wall2, Tc, tc = timed_loop(2 * steps, Tc, tc)
-    scale_ok = 1.2 < wall2 / max(wall, 1e-12) < 3.3
+    per_step, scale_ok, Tc = measure(sync_steps)
 
-    if sync_steps:
-        per_step = wall / steps
-    else:
-        # slope estimate (wall2 − wall)/steps: cancels any constant
-        # end-of-chain sync latency (degraded-tunnel roundtrips were
-        # observed at multiple seconds on 2026-08-17), leaving the pure
-        # per-step device time
-        per_step = (wall2 - wall) / steps
+    def implausible(per):
+        # < 2 ms/step at ~1M dofs exceeds the HBM roofline several-fold —
+        # flags broken completion signals (e.g. tunnel outages)
+        return per < 2e-3 and fes.ndof > 5e5
+
+    if (implausible(per_step) or not scale_ok) and not sync_steps:
+        # fall back to per-step sync WITHIN this attempt (VERDICT r3):
+        # per-step readbacks are immune to queue-depth dispatch artifacts
+        print("bench: slope self-check failed; falling back to per-step "
+              "sync", file=sys.stderr)
+        sync_steps = True
+        per_step, scale_ok, Tc = measure(True)
     dofs_per_s = fes.ndof / per_step
 
     baseline = None
@@ -253,9 +278,7 @@ def main():
         pass
     vs = (baseline / per_step) if baseline else 0.0
 
-    # plausibility guard: < 2 ms/step at ~1M dofs exceeds the HBM roofline
-    # several-fold — flags broken completion signals (e.g. tunnel outages)
-    suspect = (per_step < 2e-3 and fes.ndof > 5e5) or not scale_ok
+    suspect = implausible(per_step) or not scale_ok
     return {
         "metric": "bioheat_implicit_timestep_dofs_per_s_per_chip",
         "value": dofs_per_s,

@@ -227,8 +227,35 @@ def contact_solve(
         else:
             rows = np.nonzero(active)[0]
             Ba = B.select_rows(rows)
-            # constraint rows act on free dofs only (Dirichlet folded in)
+            # constraint rows act on free dofs only: fold the Dirichlet
+            # values into the rhs, then ZERO B entries at fixed columns so
+            # the projector P = I − Bᵀ(BBᵀ)⁻¹B has no component along
+            # them (otherwise x = xp + proj(y) perturbs the BC wherever a
+            # mortar row touches a Dirichlet dof — r3 advisor finding)
             ra = -g0[jnp.asarray(rows)] - Ba.mult(fv * fm)
+            val_free = Ba.val * free[Ba.idx]
+            # drop rows that became empty (constraint entirely on fixed
+            # dofs — the BC decides them; keeping them would make BBᵀ
+            # singular)
+            keep = np.asarray(jnp.abs(val_free).sum(axis=1) > 0)
+            if not keep.all():
+                rows = rows[keep]
+                if rows.size == 0:
+                    u, _ = cg(A_bc, rhs, M=M, rel_tol=rel_tol,
+                              max_iter=max_iter)
+                    lam = jnp.zeros(B.m, f.dtype)
+                    if active_prev is not None and np.array_equal(
+                            active, active_prev):
+                        return u, lam, it + 1
+                    active_prev = active
+                    continue
+                kj = jnp.asarray(np.nonzero(keep)[0])
+                val_free = val_free[kj]
+                Ba = Constraints(idx=Ba.idx[kj], val=Ba.val[kj], n=Ba.n,
+                                 rowstarts=np.arange(rows.size + 1))
+                ra = ra[kj]
+            Ba = Constraints(idx=Ba.idx, val=val_free, n=Ba.n,
+                             rowstarts=Ba.rowstarts)
             u, la, info = eliminate_constrained_solve(
                 A_bc, Ba, rhs, r=ra, M=M, rel_tol=rel_tol,
                 max_iter=max_iter)

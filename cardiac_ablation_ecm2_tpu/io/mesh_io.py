@@ -7,9 +7,8 @@ format is the test corpus format for the 115 bundled meshes in
 reading it untranslated gives us the reference's acceptance meshes.
 
 Geometry type codes match ``fem/geom.hpp``: 0=POINT … 5=CUBE.  Curved meshes
-(trailing ``nodes`` FiniteElementSpace section) are parsed for H1 spaces with
-lexicographic reconstruction deferred — straight meshes cover the current
-test matrix; curved support is tracked for the NURBS/isoparametric round.
+(trailing ``nodes`` FiniteElementSpace section) are read and written for H1
+nodal spaces (byNODES/byVDIM orderings) into ``Mesh.nodes`` E-vectors.
 """
 
 from __future__ import annotations

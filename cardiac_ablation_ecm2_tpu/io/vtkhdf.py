@@ -42,6 +42,7 @@ class VTKHDFDataCollection:
         self._compression = compression
         self._nsteps = 0
         self._names: list = []
+        self._cell_names: list = []
 
         pts = np.asarray(mesh.vertices, np.float64)
         if pts.shape[1] < 3:
@@ -119,9 +120,14 @@ class VTKHDFDataCollection:
                     cdo.create_dataset(name, shape=(0,), maxshape=(None,),
                                        dtype=np.int64)
             self._names = sorted(point_data)
+            self._cell_names = sorted(cell_data or {})
 
         if sorted(point_data) != self._names:
             raise ValueError("field names must match across steps")
+        if sorted(cell_data or {}) != self._cell_names:
+            # the per-step offset tables desynchronize silently otherwise
+            # (r3 advisor finding): validate exactly like point_data
+            raise ValueError("cell-data field names must match across steps")
         st = g["Steps"]
 
         def _append(ds, rows):

@@ -6,8 +6,8 @@ constructors ``MakeCartesian{2,3}D`` and ``UniformRefinement``
 (``mesh/mesh.hpp:2433``).
 
 TPU-native design: a mesh is an immutable plain-old-data bag of numpy arrays —
-no per-element objects, one geometry type per mesh (mixed meshes are separate
-batched blocks; not yet implemented).  All construction/refinement runs
+no per-element objects, one geometry type per mesh; mixed meshes are
+per-geometry batched blocks (``fem/mixed.py``).  All construction/refinement runs
 host-side in numpy (setup path); only dof-mapped arrays derived from the mesh
 are shipped to device.
 

@@ -33,6 +33,13 @@ def trim(mesh: Mesh, trim_attrs: Sequence[int],
     amap = {a: bmax + a for a in trim_set}
     if bdr_attr_map:
         amap.update({int(k): int(v) for k, v in bdr_attr_map.items()})
+    # fallback attribute for kept exterior faces absent from the original
+    # boundary list: must not collide with any interface attribute
+    # (bmax + 1 collides with amap when a trimmed attribute is 1 —
+    # r3 advisor finding)
+    untagged = bmax + 1
+    while untagged in amap.values():
+        untagged += 1
 
     loc = FACES[mesh.geom]
     # face key -> (count over kept, representative cycle); plus the trimmed
@@ -62,7 +69,7 @@ def trim(mesh: Mesh, trim_attrs: Sequence[int],
         if key in trimmed_attr:                  # cut interface
             battr.append(amap[trimmed_attr[key]])
         else:                                    # original outer boundary
-            battr.append(old_bdr.get(key, bmax + 1))
+            battr.append(old_bdr.get(key, untagged))
 
     elems = mesh.elements[keep]
     used = np.unique(elems)

@@ -19,7 +19,7 @@ everything stays on device and works under ``shard_map``:
   if one is supplied.
 
 The sharded counterpart (same matrices, halo-summed scatter) is
-``parallel/plor.py``.
+``parallel/poisson.py`` (precond="lor").
 """
 
 from __future__ import annotations

@@ -320,15 +320,25 @@ def vector_divergence(vfes, pfes, coeff=1.0, nq1d=None, dtype=None):
 
 
 def gradient(pfes, vfes, coeff=1.0, nq1d=None, dtype=None):
-    """(c ∇p, v): scalar H1 trial → vector-H1 test
-    (GradientIntegrator, fem/bilininteg.hpp:2284)."""
-    op = vector_divergence(vfes, pfes, coeff=coeff, nq1d=nq1d, dtype=dtype)
-    return MixedVecFEOperator(
-        g_trial=op.g_test, g_test=op.g_trial,
-        pre_trial=_ident, post_trial=_ident,
-        pre_test=_ident, post_test=_ident,
-        Bt=op.Bs, Bs=op.Bt, qd=op.qd,
-        ndof_trial=op.ndof_test, ndof_test=op.ndof_trial)
+    """(c ∇p, v): scalar H1 trial → vector-H1 test (GradientIntegrator,
+    fem/bilininteg.hpp:2284; GradientIntegrator::AssembleElementMatrix2 in
+    bilininteg.cpp).  The derivative lands on the TRIAL (scalar) space —
+    this is NOT the transpose of :func:`vector_divergence`, which by
+    integration by parts differs by a sign and a boundary-mass term
+    (advisor finding, round 3).  For the divergence transpose (the Stokes
+    pressure-gradient block −Dᵀ) use ``vector_divergence(...).mult_t``."""
+    rt = real_t(dtype)
+    nq1d = nq1d or (vfes.order + 2)
+    gf = geom_factors_for(vfes, nq1d, dtype)
+    Gp = _scalar_grad(pfes, gf, nq1d, rt)        # (ne, nq, nd_p, dim)
+    d = vfes.vdim
+    cq = jnp.asarray(coeff(gf.x), rt) if callable(coeff) else \
+        jnp.asarray(float(coeff), rt)
+    QD = cq[..., None, None] * jnp.eye(d, dtype=rt)   # (…, d, d) identity
+    QD = jnp.broadcast_to(QD, gf.det.shape + (d, d))
+    return _coupled((pfes.gather_map, Gp),
+                    _h1_vec_value(vfes, nq1d, rt),
+                    QD, gf, pfes.ndof_scalar, vfes.ndof)
 
 
 def derivative(fes_trial, fes_test, direction: int, coeff=1.0, nq1d=None,

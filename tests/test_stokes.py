@@ -22,19 +22,34 @@ from cardiac_ablation_ecm2_tpu.ops.mixed_vecfe import (derivative, gradient,
 
 
 def test_mixed_h1_pair_adjoint_and_exactness():
-    """D = (div u, q) agrees with exact quadrature on polynomials and
-    gradient() is its exact transpose."""
+    """D = (div u, q) agrees with exact quadrature on polynomials;
+    gradient() is the true (∇p, v) form: exact on polynomials and equal to
+    −Dᵀ only against velocities with zero normal trace (integration by
+    parts — the r3 advisor finding)."""
     mesh = make_cartesian_2d(4, 4)
     V = FESpace(mesh, 2, vdim=2)
     Q = FESpace(mesh, 1)
+    ns = V.ndof_scalar
     D = vector_divergence(V, Q)
     G = gradient(Q, V)
 
+    # exactness: p = x + y − 1 → ∇p = (1, 1), so G p = (1, v) ⊕ (1, v)
+    Xq = np.asarray(Q.dof_coords)
+    p_lin = jnp.asarray(Xq[:, 0] + Xq[:, 1] - 1.0)
+    got = np.asarray(G.mult(p_lin))
+    want = np.asarray(domain_lf_vector(V, np.array([1.0, 1.0])))
+    assert np.allclose(got, want, atol=1e-13)
+
+    # (∇p, u) = −(p, div u) for u with zero boundary trace (no bdry term)
     rng = np.random.default_rng(0)
-    u = jnp.asarray(rng.standard_normal(V.ndof))
+    ess = V.essential_dofs([1, 2, 3, 4])
+    fixed = np.concatenate([ess, ess + ns])
+    mask = np.ones(V.ndof)
+    mask[fixed] = 0.0
+    u = jnp.asarray(rng.standard_normal(V.ndof) * mask)
     q = jnp.asarray(rng.standard_normal(Q.ndof_scalar))
     lhs = float(D.mult(u) @ q)
-    rhs = float(u @ G.mult(q))
+    rhs = -float(u @ G.mult(q))
     assert abs(lhs - rhs) < 1e-12 * max(abs(lhs), 1.0)
 
     # u = (x², x·y): div u = 2x + x = 3x; (q_j, 3x) must match exactly
