@@ -149,34 +149,11 @@ def main():
         )
     solver = ode.select("sdirk33")
 
-    # Thread the LARGE operator arrays (qdata, diagonals, RHS, restriction
-    # tables) through as jit ARGUMENTS via op.override: closed-over device
-    # arrays are inlined into the MLIR as constants, and at 1M elements the
-    # multi-hundred-MB compile payload breaks the tunneled remote compile
-    # (observed 50-min compiles ending in broken pipes at n=66).
-    from cardiac_ablation_ecm2_tpu.fem.restriction import ElementRestriction
-
-    big = dict(
-        b_const=op.b_const, Mrc_diag=op.Mrc_diag, A_diag=op.A_diag,
-        ess_mask=op.ess_mask,
-    )
-    if isinstance(op.restr, ElementRestriction):
-        big["restr"] = op.restr
-    if getattr(op, "_aff", None) is not None:
-        # affine fast path: the step streams only the collapsed per-element
-        # factors; the full qdata never enters the traced step
-        big.update(_dm=op._dm, _dw=op._dw, _dk=op._dk)
-    else:
-        big.update(Mrc_qd=op.Mrc_qd, Mw_qd=op.Mw_qd, K_qd=op.K_qd)
-        if getattr(op, "_lane", None) is not None:
-            big.update(_qkT=op._qkT, _qmT=op._qmT, _qwT=op._qwT)
-
-    @jax.jit
-    def _step(T, t, dt, big):
-        return solver.step(op.override(**big), T, t, dt)
-
-    def step(T, t, dt):
-        return _step(T, t, dt, big)
+    # big operator arrays ride as jit ARGUMENTS (models/bioheat.big_arrays):
+    # closed-over device arrays are inlined into the MLIR as constants, and
+    # at 1M elements the multi-hundred-MB compile payload breaks the
+    # tunneled remote compile (observed 50-min compiles → broken pipes)
+    step = bioheat.make_stepper(op, solver)
 
     # theta form: state is the temperature rise (starts at 0)
     T = jnp.zeros(fes.ndof, dtype=jnp.dtype(dtype))

@@ -123,7 +123,9 @@ class NCFESpace:
         # fine dofs on a master face from its (p+1)² dof grid ---
         per_face = []   # (grid_slots[(p+1)²], [(slave_slot, σu, σv), …])
         face_cons = getattr(self.nc, "face_constraints", None)
-        if face_cons is not None and len(face_cons):
+        half_cons = getattr(self.nc, "half_face_constraints", None)
+        if (face_cons is not None and len(face_cons)) or \
+                (half_cons is not None and len(half_cons)):
             pos = {}
             for i, pnt in enumerate(mesh.vertices):
                 pos.setdefault(tuple(pnt), i)
@@ -131,12 +133,9 @@ class NCFESpace:
             def midv(x, y):
                 return pos[tuple(0.5 * (mesh.vertices[x] + mesh.vertices[y]))]
 
-            for (c, A, B, C, D) in face_cons:
-                c, A, B, C, D = int(c), int(A), int(B), int(C), int(D)
-                mAB, mBC = midv(A, B), midv(B, C)
-                mCD, mDA = midv(C, D), midv(D, A)
+            def grid_slots_for(A, B, C, D):
                 # master grid keys, index g = u*(p+1)+v; u along A→B, v A→D
-                grid_slots = []
+                slots = []
                 for u in range(p + 1):
                     for v in range(p + 1):
                         if (u, v) == (0, 0):
@@ -157,8 +156,30 @@ class NCFESpace:
                             k = _edge_key(A, D, v if A < D else p - v)
                         else:
                             k = _face_key((A, B, C, D), (u, v), p)
-                        grid_slots.append(len(queries))
+                        slots.append(len(queries))
                         queries.append(k)
+                return slots
+
+            def child_face_interiors(ids, P, s_list):
+                """Interior nodes of child face ``ids`` with master-frame
+                corner params ``P``."""
+                P0 = np.array(P[0], dtype=float)
+                eu = np.array(P[1], dtype=float) - P0
+                ev = np.array(P[3], dtype=float) - P0
+                for i in range(1, p):
+                    for j in range(1, p):
+                        sig = P0 + nodes1d[i] * eu + nodes1d[j] * ev
+                        s_list.append(
+                            (len(queries), float(sig[0]), float(sig[1]))
+                        )
+                        queries.append(_face_key(ids, (i, j), p))
+
+        if face_cons is not None and len(face_cons):
+            for (c, A, B, C, D) in face_cons:
+                c, A, B, C, D = int(c), int(A), int(B), int(C), int(D)
+                mAB, mBC = midv(A, B), midv(B, C)
+                mCD, mDA = midv(C, D), midv(D, A)
+                grid_slots = grid_slots_for(A, B, C, D)
 
                 s_list = [(len(queries), 0.5, 0.5)]
                 queries.append(_vert_key(c))
@@ -183,29 +204,47 @@ class NCFESpace:
                     ((c, mBC, C, mCD), ((.5, .5), (1, .5), (1, 1), (.5, 1))),
                     ((mDA, c, mCD, D), ((0, .5), (.5, .5), (.5, 1), (0, 1))),
                 ):
-                    P0 = np.array(P[0], dtype=float)
-                    eu = np.array(P[1], dtype=float) - P0
-                    ev = np.array(P[3], dtype=float) - P0
-                    for i in range(1, p):
-                        for j in range(1, p):
-                            sig = P0 + nodes1d[i] * eu + nodes1d[j] * ev
-                            s_list.append(
-                                (len(queries), float(sig[0]), float(sig[1]))
-                            )
-                            queries.append(_face_key(ids, (i, j), p))
+                    child_face_interiors(ids, P, s_list)
                 per_face.append((grid_slots, s_list))
 
-        # --- tri-face constraints (NC tet meshes, order 2): the interior
-        # node of each fine MEDIAL edge (interior to a refined master tri
-        # face) is the master face's P₂ trace at that point.  P₂ tet dofs
-        # are nodal (vertices + edge midpoints), so the weights are the six
-        # P₂ triangle shape functions at the node's barycentric position.
-        per_tri = []   # (master_slots[6], [(slave_slot, (lA, lB, lC)), …])
+        # --- half-face constraints (anisotropic hex neighbor): the medial
+        # edge mE–mF and both half child faces hang on the master face
+        # (u along c1→c2, v along c1→c4; mE at (0.5,0), mF at (0.5,1)) ---
+        if half_cons is not None and len(half_cons):
+            for (mE, mF, A, B, C, D) in half_cons:
+                mE, mF = int(mE), int(mF)
+                A, B, C, D = int(A), int(B), int(C), int(D)
+                grid_slots = grid_slots_for(A, B, C, D)
+                s_list = []
+                # medial-edge interior nodes at (0.5, t from mE)
+                for t in range(1, p):
+                    s_list.append((len(queries), 0.5, float(nodes1d[t])))
+                    s_t = t if mE < mF else p - t
+                    queries.append(_edge_key(mE, mF, s_t))
+                # interior nodes of the two half child faces
+                child_face_interiors(
+                    (A, mE, mF, D), ((0, 0), (.5, 0), (.5, 1), (0, 1)),
+                    s_list)
+                child_face_interiors(
+                    (mE, B, C, mF), ((.5, 0), (1, 0), (1, 1), (.5, 1)),
+                    s_list)
+                if s_list:
+                    per_face.append((grid_slots, s_list))
+
+        # --- tri-face constraints (NC tet meshes, any order): every slave
+        # dof interior to a refined master tri face — medial fine-edge
+        # nodes and child-face interior nodes — interpolates the master
+        # face's full P_p trace grid.  Weights = the master triangle
+        # element's nodal basis at the slave's face coordinates
+        # (simplex_basis_matrices shares the tet trace node convention:
+        # GLL-warped edges, equispaced interiors).
+        per_tri = []   # (master_slots[ndl_tri], [(slave_slot, (x, y)), …])
         tri_cons = getattr(self.nc, "tri_face_constraints", None)
         if tri_cons is not None and len(tri_cons) and p >= 2:
-            if p > 2:
-                raise NotImplementedError(
-                    "NC tet faces at order ≥ 3 (face-interior master dofs)")
+            from .basis import lattice_multi_index as _lmi
+            from .geometry import Geometry as _G
+
+            mi2 = _lmi(_G.TRIANGLE, p)
             pos3 = {}
             for i, pnt in enumerate(mesh.vertices):
                 pos3.setdefault(tuple(pnt), i)
@@ -214,23 +253,74 @@ class NCFESpace:
                 return pos3[tuple(0.5 * (mesh.vertices[x]
                                          + mesh.vertices[y]))]
 
+            def _tri_face_key(g3, bary):
+                """Face-interior key matching _elem_node_keys' tri branch:
+                sorted globals + barycentric params in the canonical
+                (min-id origin, smaller-neighbor direction) frame."""
+                gf = [int(x) for x in g3]
+                gsort = sorted(gf)
+                r = gf.index(min(gf))
+                d = 1 if gf[(r + 1) % 3] < gf[(r - 1) % 3] else -1
+                a = bary[(r + d) % 3]
+                bb = bary[(r - d) % 3]
+                return [gsort[0], gsort[1], gsort[2], -1,
+                        _meta(_FACE, int(a), int(bb))]
+
+            def _edge_node_key(x, y, t):
+                """Interior node t (measured from x) of edge (x, y)."""
+                return _edge_key(x, y, t if x < y else p - t)
+
             for (A, B, C) in tri_cons:
                 A, B, C = int(A), int(B), int(C)
                 mAB, mBC, mCA = midv3(A, B), midv3(B, C), midv3(C, A)
+                # master trace grid in triangle-lattice order (matches the
+                # basis column order of simplex_basis_matrices)
                 m_slots = []
-                for k in (_vert_key(A), _vert_key(B), _vert_key(C),
-                          _edge_key(A, B, 1), _edge_key(B, C, 1),
-                          _edge_key(C, A, 1)):
+                for (i, j) in mi2:
+                    i, j = int(i), int(j)
+                    if (i, j) == (0, 0):
+                        k = _vert_key(A)
+                    elif (i, j) == (p, 0):
+                        k = _vert_key(B)
+                    elif (i, j) == (0, p):
+                        k = _vert_key(C)
+                    elif j == 0:
+                        k = _edge_node_key(A, B, i)
+                    elif i == 0:
+                        k = _edge_node_key(A, C, j)
+                    elif i + j == p:
+                        k = _edge_node_key(B, C, j)
+                    else:
+                        k = _tri_face_key((A, B, C), (p - i - j, i, j))
                     m_slots.append(len(queries))
                     queries.append(k)
+
+                # slaves with 2D face coords (A=(0,0), B=(1,0), C=(0,1))
+                P = {mAB: np.array([.5, 0.]), mBC: np.array([.5, .5]),
+                     mCA: np.array([0., .5])}
                 s_list = []
-                for (m1, m2, lam) in (
-                    (mAB, mBC, (0.25, 0.50, 0.25)),
-                    (mBC, mCA, (0.25, 0.25, 0.50)),
-                    (mCA, mAB, (0.50, 0.25, 0.25)),
-                ):
-                    s_list.append((len(queries), lam))
-                    queries.append(_edge_key(m1, m2, 1))
+                for (m1, m2) in ((mAB, mBC), (mBC, mCA), (mCA, mAB)):
+                    for t in range(1, p):
+                        xy = P[m1] + nodes1d[t] * (P[m2] - P[m1])
+                        s_list.append((len(queries), tuple(xy)))
+                        queries.append(_edge_node_key(m1, m2, t))
+                if p >= 3:
+                    PA, PB, PC = (np.array([0., 0.]), np.array([1., 0.]),
+                                  np.array([0., 1.]))
+                    for (g3, c3) in (
+                        ((A, mAB, mCA), (PA, P[mAB], P[mCA])),
+                        ((mAB, B, mBC), (P[mAB], PB, P[mBC])),
+                        ((mCA, mBC, C), (P[mCA], P[mBC], PC)),
+                        ((mAB, mBC, mCA), (P[mAB], P[mBC], P[mCA])),
+                    ):
+                        for (i, j) in mi2:
+                            i, j = int(i), int(j)
+                            if i == 0 or j == 0 or i + j == p:
+                                continue
+                            b0, b1, b2 = p - i - j, i, j
+                            xy = (b0 * c3[0] + b1 * c3[1] + b2 * c3[2]) / p
+                            s_list.append((len(queries), tuple(xy)))
+                            queries.append(_tri_face_key(g3, (b0, b1, b2)))
                 per_tri.append((m_slots, s_list))
 
         if queries:
@@ -257,15 +347,19 @@ class NCFESpace:
                     for g in range(len(masters)) if abs(w2[g]) > 1e-14
                 ]
         for (m_slots, s_list) in per_tri:
+            from .basis import simplex_basis_matrices as _sbm
+            from .geometry import Geometry as _G
+
             masters = [int(qids[i]) for i in m_slots]
-            for (slot, (lA, lB, lC)) in s_list:
+            pts = np.array([xy for (_slot, xy) in s_list], dtype=np.float64)
+            Btr, _ = _sbm(_G.TRIANGLE, p, pts)
+            Btr = np.asarray(Btr)
+            for row_i, (slot, _xy) in enumerate(s_list):
                 s = int(qids[slot])
-                w6 = [lA * (2 * lA - 1), lB * (2 * lB - 1),
-                      lC * (2 * lC - 1), 4 * lA * lB, 4 * lB * lC,
-                      4 * lC * lA]
                 rows[s] = [
-                    (masters[g], w6[g])
-                    for g in range(6) if abs(w6[g]) > 1e-14
+                    (masters[g], Btr[row_i, g])
+                    for g in range(len(masters))
+                    if abs(Btr[row_i, g]) > 1e-14
                 ]
 
         # resolve chained constraints (slave's master itself slave)

@@ -237,8 +237,8 @@ class AMRForest:
                             extra[i] = True
                             found = True
         else:
-            ec, fc, bad = _find_constraints_3d(m)
-            for (_key, eid) in bad:
+            ec, fc, _hc, bad = _find_constraints_3d(m)
+            for (_key, eid, _dirs, _cyc) in bad:
                 i = to_cur(new_active[eid])
                 if i is not None:
                     extra[i] = True
@@ -315,8 +315,8 @@ class AMRForest:
                         if (min(a, b), max(a, b)) in bad_edges:
                             viol.add(p)
         else:
-            ec, fc, bad = _find_constraints_3d(m)
-            owners = {cand_active[eid] for (_k, eid) in bad}
+            ec, fc, _hc, bad = _find_constraints_3d(m)
+            owners = {cand_active[eid] for (_k, eid, _d, _c) in bad}
             viol |= owners & merged
             bad_edges = fwd(_bad_master_edges(ec))
             if bad_edges:

@@ -255,15 +255,26 @@ class NCHexMesh:
     center hangs on master face with *cyclic* corners (A, B, C, D) as seen
     from the unrefined element; the 4 edge midpoints and 4 child faces are
     implied (recoverable geometrically).
+    ``half_face_constraints``: (nh, 6) rows (mE, mF, c1, c2, c3, c4) — an
+    ANISOTROPIC neighbor split the master face (cyclic c1..c4, as seen from
+    the unrefined owner) in two; mE = midpoint of edge (c1,c2), mF = of
+    (c3,c4); the medial edge mE–mF hangs on the master face (reference
+    ref_type splits, mesh/ncmesh.hpp:662).
     """
 
     mesh: Mesh
     constraints: np.ndarray
     face_constraints: np.ndarray
+    half_face_constraints: np.ndarray = None
+
+    def __post_init__(self):
+        if self.half_face_constraints is None:
+            self.half_face_constraints = np.zeros((0, 6), dtype=np.int64)
 
     @property
     def n_hanging(self) -> int:
-        return len(self.constraints) + len(self.face_constraints)
+        return (len(self.constraints) + len(self.face_constraints)
+                + len(self.half_face_constraints))
 
 
 def _hex_edge_set(mesh: Mesh) -> set:
@@ -316,12 +327,17 @@ def _edge_constraints_from(edges: set, mesh: Mesh) -> np.ndarray:
 def _find_constraints_3d(mesh: Mesh):
     """Geometric hanging-entity detection for hexes.
 
-    Edge hangers: as in 2D.  Face hangers: face F (cyclic A,B,C,D) of exactly
-    one element whose center exists as a vertex, whose 4 edge midpoints exist,
-    and whose 4 child faces all exist as element faces.  Returns
-    (edge_cons, face_cons, bad_faces) where bad_faces lists (sorted_key,
-    owner_elem) for >2:1 faces (center exists but children incomplete) —
-    used by balance propagation.
+    Edge hangers: as in 2D.  Full-face hangers: face F (cyclic A,B,C,D) of
+    exactly one element whose center exists as a vertex, whose 4 edge
+    midpoints exist, and whose 4 child faces all exist as element faces.
+    Half-face hangers (anisotropic neighbor): exactly one opposite
+    edge-midpoint pair exists and both half children exist — the medial
+    edge hangs on the master face.  Returns (edge_cons, face_cons,
+    half_face_cons, bad_faces) where bad_faces lists
+    (sorted_key, owner_elem, (need_u, need_v), (A, B, C, D)) for faces
+    whose neighbor refined deeper/crosswise than a single 2:1 pattern —
+    consumed by the typed balance propagation (the CheckAnisoFace /
+    forced-refinement role, reference mesh/ncmesh.cpp).
     """
     verts0 = mesh.vertices
     edges = _hex_edge_set(mesh)
@@ -331,38 +347,77 @@ def _find_constraints_3d(mesh: Mesh):
     for i, p in enumerate(verts0):
         pos.setdefault(tuple(p), i)
     fm = _face_map(mesh)
-    face_cons, bad = [], []
+    # boundary faces are never NC masters (no neighbor): skip them, or
+    # edge-neighbor refinements would spuriously flag them as crossing
+    bdr_keys = {tuple(sorted(int(x) for x in q)) for q in mesh.boundary}
+    face_cons, half_cons, bad = [], [], []
     for key, owners in fm.items():
-        if len(owners) != 1:
-            continue
-        c = pos.get(tuple(_sorted_avg(verts0, key)))
-        if c is None:
+        if len(owners) != 1 or key in bdr_keys:
             continue
         (A, B, C, D), eid = owners[0]
+        c = pos.get(tuple(_sorted_avg(verts0, key)))
         mids = [
             pos.get(tuple(0.5 * (verts0[x] + verts0[y])))
             for (x, y) in ((A, B), (B, C), (C, D), (D, A))
         ]
-        if any(m is None for m in mids):
-            bad.append((key, eid))
-            continue
         mAB, mBC, mCD, mDA = mids
-        children = [
-            (A, mAB, c, mDA), (mAB, B, mBC, c),
-            (c, mBC, C, mCD), (mDA, c, mCD, D),
-        ]
-        if all(tuple(sorted(ch)) in fm for ch in children):
-            face_cons.append((c, A, B, C, D))
-        else:
-            bad.append((key, eid))
+        if c is not None:
+            if any(m is None for m in mids):
+                bad.append((key, eid, (True, True), (A, B, C, D)))
+                continue
+            children = [
+                (A, mAB, c, mDA), (mAB, B, mBC, c),
+                (c, mBC, C, mCD), (mDA, c, mCD, D),
+            ]
+            if all(tuple(sorted(ch)) in fm for ch in children):
+                face_cons.append((c, A, B, C, D))
+            else:
+                bad.append((key, eid, (True, True), (A, B, C, D)))
+            continue
+        # no center: anisotropic neighbor?  u pair = (mAB, mCD) → medial
+        # along v; v pair = (mBC, mDA) → medial along u.  Cycle stored so
+        # the split separates corner 1 from corner 2.
+        has_u = mAB is not None and mCD is not None
+        has_v = mBC is not None and mDA is not None
+        if has_u and not has_v:
+            ch = [(A, mAB, mCD, D), (mAB, B, C, mCD)]
+            if all(tuple(sorted(x)) in fm for x in ch):
+                half_cons.append((mAB, mCD, A, B, C, D))
+            else:
+                bad.append((key, eid, (True, False), (A, B, C, D)))
+        elif has_v and not has_u:
+            ch = [(A, B, mBC, mDA), (mDA, mBC, C, D)]
+            if all(tuple(sorted(x)) in fm for x in ch):
+                half_cons.append((mBC, mDA, B, C, D, A))
+            else:
+                bad.append((key, eid, (False, True), (A, B, C, D)))
+        elif any(m is not None for m in mids):
+            # crossed/partial pattern (e.g. the neighbor split the OTHER
+            # way across a half-face): force the owner to match
+            bad.append((key, eid,
+                        (mAB is not None or mCD is not None,
+                         mBC is not None or mDA is not None),
+                        (A, B, C, D)))
     return (
         edge_cons,
         np.array(face_cons, dtype=np.int64).reshape(-1, 5),
+        np.array(half_cons, dtype=np.int64).reshape(-1, 6),
         bad,
     )
 
 
-def _refine_once_3d(mesh: Mesh, marks: np.ndarray) -> _RefineResult:
+# 3D refinement type bitmask (reference NCMesh ref_type, mesh/ncmesh.hpp:662:
+# bit k = split by a plane normal to the local k axis)
+X3, Y3, Z3, ISO3 = 1, 2, 4, 7
+
+
+def _refine_once_3d(mesh: Mesh, types: np.ndarray) -> _RefineResult:
+    """Split each hex per its type bitmask (0 none … ISO3 8-way).
+
+    Every new vertex is a 2/4/8-corner average (``_sorted_avg`` —
+    deterministic), placed on the {0,1,2}³ lattice of the parent: a lattice
+    point with k coordinates equal to 1 averages the 2^k corners obtained
+    by rounding those coordinates both ways."""
     verts: List[np.ndarray] = [v for v in mesh.vertices]
     verts0 = mesh.vertices
     vpos: Dict[tuple, int] = {tuple(p): i for i, p in enumerate(verts0)}
@@ -380,49 +435,69 @@ def _refine_once_3d(mesh: Mesh, marks: np.ndarray) -> _RefineResult:
     elems, attrs, parent = [], [], []
     for e in range(mesh.ne):
         t = mesh.elements[e]
-        if not marks[e]:
+        ty = int(types[e])
+        if ty == 0:
             elems.append([int(x) for x in t])
             attrs.append(mesh.attributes[e])
             parent.append(e)
             continue
+        split = [bool(ty & (1 << d)) for d in range(3)]
         lat: Dict[tuple, int] = {}
-        for lc, lv in corner_of.items():
-            lat[lc] = int(t[lv])
-        for (la, lb) in EDGES[Geometry.CUBE]:
-            m = tuple((latt_v[la] + latt_v[lb]) // 2)
-            lat[m] = point_id(0.5 * (verts0[t[la]] + verts0[t[lb]]))
-        for fverts in FACES[Geometry.CUBE]:
-            fc = tuple(latt_v[list(fverts)].sum(axis=0) // 4)
-            lat[fc] = point_id(_sorted_avg(verts0, [t[i] for i in fverts]))
-        lat[(1, 1, 1)] = point_id(_sorted_avg(verts0, t))
-        for k in (0, 1):
-            for j in (0, 1):
-                for i in (0, 1):
+
+        def lat_id(lx, ly, lz, _t=t, _lat=lat):
+            key = (lx, ly, lz)
+            if key in _lat:
+                return _lat[key]
+            corners = []
+            for cx in ((0, 2) if lx == 1 else (lx,)):
+                for cy in ((0, 2) if ly == 1 else (ly,)):
+                    for cz in ((0, 2) if lz == 1 else (lz,)):
+                        corners.append(int(_t[corner_of[(cx, cy, cz)]]))
+            if len(corners) == 1:
+                _lat[key] = corners[0]
+            else:
+                _lat[key] = point_id(_sorted_avg(verts0, corners))
+            return _lat[key]
+
+        # child cells: per split axis two slabs [0,1],[1,2]; else one [0,2]
+        spans = [((0, 1), (1, 2)) if split[d] else ((0, 2),)
+                 for d in range(3)]
+        for (z0, z1) in spans[2]:
+            for (y0, y1) in spans[1]:
+                for (x0, x1) in spans[0]:
                     ch = [
-                        lat[(i, j, k)], lat[(i + 1, j, k)],
-                        lat[(i + 1, j + 1, k)], lat[(i, j + 1, k)],
-                        lat[(i, j, k + 1)], lat[(i + 1, j, k + 1)],
-                        lat[(i + 1, j + 1, k + 1)], lat[(i, j + 1, k + 1)],
+                        lat_id(x0, y0, z0), lat_id(x1, y0, z0),
+                        lat_id(x1, y1, z0), lat_id(x0, y1, z0),
+                        lat_id(x0, y0, z1), lat_id(x1, y0, z1),
+                        lat_id(x1, y1, z1), lat_id(x0, y1, z1),
                     ]
                     elems.append(ch)
                     attrs.append(mesh.attributes[e])
                     parent.append(e)
 
-    # boundary quads: split when the face center vertex now exists
+    # boundary quads: split full (center exists), half (one opposite-mid
+    # pair exists), or keep
+    def _mid(x, y):
+        return vpos.get(tuple(0.5 * (verts0[x] + verts0[y])))
+
     bdr, battr = [], []
     for quad, a in zip(mesh.boundary, mesh.bdr_attributes):
         A, B, C, D = (int(x) for x in quad)
         c = vpos.get(tuple(_sorted_avg(verts0, quad)))
+        mAB, mBC = _mid(A, B), _mid(B, C)
+        mCD, mDA = _mid(C, D), _mid(D, A)
         if c is not None:
-            mAB = vpos[tuple(0.5 * (verts0[A] + verts0[B]))]
-            mBC = vpos[tuple(0.5 * (verts0[B] + verts0[C]))]
-            mCD = vpos[tuple(0.5 * (verts0[C] + verts0[D]))]
-            mDA = vpos[tuple(0.5 * (verts0[D] + verts0[A]))]
             bdr += [
                 (A, mAB, c, mDA), (mAB, B, mBC, c),
                 (c, mBC, C, mCD), (mDA, c, mCD, D),
             ]
             battr += [a] * 4
+        elif mAB is not None and mCD is not None:
+            bdr += [(A, mAB, mCD, D), (mAB, B, C, mCD)]
+            battr += [a] * 2
+        elif mBC is not None and mDA is not None:
+            bdr += [(A, B, mBC, mDA), (mDA, mBC, C, D)]
+            battr += [a] * 2
         else:
             bdr.append((A, B, C, D))
             battr.append(a)
@@ -442,21 +517,73 @@ def refine_hexes(nc: NCHexMesh, marks: np.ndarray,
                  balance: bool = True) -> Tuple["NCHexMesh", np.ndarray]:
     """Refine marked hexes 8-ways; re-derive constraints; enforce 2:1 balance
     (both face- and edge-level) by marking propagation."""
+    marks = np.asarray(marks, dtype=bool)
+    return refine_hexes_aniso(nc, np.where(marks, ISO3, 0), balance=balance)
+
+
+def _face_axis_bits(mesh: Mesh, eid: int, cyc, need_u: bool,
+                    need_v: bool) -> int:
+    """Element split bits that subdivide face ``cyc`` = (A,B,C,D) of element
+    ``eid`` along its u (A→B) / v (A→D) directions.  Topological when the
+    corners are element corners; geometric (max-|cos| axis match against
+    the element's corner frame) for child faces of partially-refined
+    parents."""
+    t = mesh.elements[eid]
+    latt_v = np.rint(REF_VERTS[Geometry.CUBE] * 2).astype(np.int64)
+    lookup = {int(t[lv]): lv for lv in range(8)}
+    A, B, _C, D = (int(x) for x in cyc)
+    bits = 0
+
+    def axis_of(p, q):
+        if p in lookup and q in lookup:
+            d = latt_v[lookup[q]] - latt_v[lookup[p]]
+            ax = int(np.nonzero(d)[0][0])
+        else:
+            v = mesh.vertices[q] - mesh.vertices[p]
+            frame = np.stack([
+                mesh.vertices[t[1]] - mesh.vertices[t[0]],
+                mesh.vertices[t[3]] - mesh.vertices[t[0]],
+                mesh.vertices[t[4]] - mesh.vertices[t[0]],
+            ])
+            cos = np.abs(frame @ v) / (
+                np.linalg.norm(frame, axis=1) * np.linalg.norm(v) + 1e-300)
+            ax = int(np.argmax(cos))
+        return 1 << ax
+
+    if need_u:
+        bits |= axis_of(A, B)
+    if need_v:
+        bits |= axis_of(A, D)
+    return bits
+
+
+def refine_hexes_aniso(nc: NCHexMesh, types: np.ndarray,
+                       balance: bool = True
+                       ) -> Tuple["NCHexMesh", np.ndarray]:
+    """Anisotropically refine hexes (reference ``NCMesh::Refine`` ref_type
+    bitmask, mesh/ncmesh.hpp:662): ``types[e]`` ∈ {0..7}, bit k = split by
+    a plane normal to local axis k (X3=1, Y3=2, Z3=4, ISO3=7).
+
+    2:1 balance propagates TYPED forced refinements: the owner of an
+    over-hung or cross-split face is split in exactly the directions that
+    subdivide it (the CheckAnisoFace forced-refinement role); over-hung
+    master edges force a split along the edge's axis."""
     mesh = nc.mesh
     assert mesh.geom == Geometry.CUBE
-    marks = np.asarray(marks, dtype=bool).copy()
+    types = np.asarray(types, dtype=np.int64).copy()
 
     for _ in range(64):
-        new = _refine_once_3d(mesh, marks)
-        ec, fc, bad = _find_constraints_3d(new.mesh_out)
+        new = _refine_once_3d(mesh, types)
+        ec, fc, hc, bad = _find_constraints_3d(new.mesh_out)
         if not balance:
             break
-        extra = np.zeros(mesh.ne, dtype=bool)
-        # face-level >2:1: the *coarse* owner of an over-hung face refines.
-        # bad owner ids index the refined mesh; map back via parent_of.
-        for (_key, eid) in bad:
-            extra[new.parent_of[eid]] = True
-        # edge-level >2:1 (as in 2D): master edge with a constrained sub-edge
+        extra = np.zeros(mesh.ne, dtype=np.int64)
+        # face-level: typed bits on the *coarse* parent of the bad owner
+        for (_key, eid, (nu, nv), cyc) in bad:
+            par = int(new.parent_of[eid])
+            extra[par] |= _face_axis_bits(new.mesh_out, eid, cyc, nu, nv)
+        # edge-level >2:1: master edge with a constrained sub-edge forces a
+        # split along that edge's axis
         masters = {(int(r[1]), int(r[2])) for r in ec}
         bad_edges = set()
         for (v, a, b) in ec:
@@ -464,17 +591,21 @@ def refine_hexes(nc: NCHexMesh, marks: np.ndarray,
                 if sub in masters or (sub[1], sub[0]) in masters:
                     bad_edges.add((min(a, b), max(a, b)))
         if bad_edges:
+            latt_v = np.rint(REF_VERTS[Geometry.CUBE] * 2).astype(np.int64)
             for e in range(mesh.ne):
                 t = mesh.elements[e]
                 for (la, lb) in EDGES[Geometry.CUBE]:
                     a, b = int(t[la]), int(t[lb])
                     if (min(a, b), max(a, b)) in bad_edges:
-                        extra[e] = True
-        if not (extra & ~marks).any():
+                        d = latt_v[lb] - latt_v[la]
+                        extra[e] |= 1 << int(np.nonzero(d)[0][0])
+        grown = (types | extra) != types
+        if not grown.any():
             break
-        marks |= extra
+        types |= extra
     return (
-        NCHexMesh(mesh=new.mesh_out, constraints=ec, face_constraints=fc),
+        NCHexMesh(mesh=new.mesh_out, constraints=ec, face_constraints=fc,
+                  half_face_constraints=hc),
         new.parent_of,
     )
 
@@ -482,6 +613,7 @@ def refine_hexes(nc: NCHexMesh, marks: np.ndarray,
 def make_nc(mesh: Mesh):
     """NC wrapper for a conforming quad or hex mesh."""
     if mesh.geom == Geometry.CUBE:
-        ec, fc, _bad = _find_constraints_3d(mesh)
-        return NCHexMesh(mesh=mesh, constraints=ec, face_constraints=fc)
+        ec, fc, hc, _bad = _find_constraints_3d(mesh)
+        return NCHexMesh(mesh=mesh, constraints=ec, face_constraints=fc,
+                         half_face_constraints=hc)
     return NCQuadMesh(mesh=mesh, constraints=_find_constraints(mesh))

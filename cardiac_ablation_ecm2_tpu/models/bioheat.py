@@ -417,9 +417,43 @@ class BioheatOperator:
         return self._zero_ess(k)
 
 
+def big_arrays(op: BioheatOperator) -> dict:
+    """The operator's LARGE device arrays (qdata, diagonals, RHS,
+    restriction tables), keyed for :meth:`BioheatOperator.override`.
+
+    Closed-over device arrays are inlined into the jitted step's MLIR as
+    constants; at 1M elements that multi-hundred-MB compile payload slows
+    (or, over a tunneled remote compile, breaks) compilation.  Threading
+    them as jit ARGUMENTS keeps the module small — the discipline the
+    round-3 verdict asked to move out of bench.py into the library."""
+    from ..fem.restriction import ElementRestriction
+
+    big = dict(
+        b_const=op.b_const, Mrc_diag=op.Mrc_diag, A_diag=op.A_diag,
+        ess_mask=op.ess_mask,
+    )
+    if isinstance(op.restr, ElementRestriction):
+        big["restr"] = op.restr
+    if getattr(op, "_aff", None) is not None:
+        # affine fast path: only the collapsed per-element factors stream
+        big.update(_dm=op._dm, _dw=op._dw, _dk=op._dk)
+    else:
+        big.update(Mrc_qd=op.Mrc_qd, Mw_qd=op.Mw_qd, K_qd=op.K_qd)
+        if getattr(op, "_lane", None) is not None:
+            big.update(_qkT=op._qkT, _qmT=op._qmT, _qwT=op._qwT)
+    return big
+
+
 def make_stepper(op: BioheatOperator, solver) -> Callable:
+    """Jitted ``(T, t, dt) -> (T', t')`` stepper with the operator's big
+    arrays threaded as jit arguments (see :func:`big_arrays`)."""
+    big = big_arrays(op)
+
     @jax.jit
+    def _step(T, t, dt, big):
+        return solver.step(op.override(**big), T, t, dt)
+
     def step(T, t, dt):
-        return solver.step(op, T, t, dt)
+        return _step(T, t, dt, big)
 
     return step

@@ -204,3 +204,30 @@ def test_nc_tet_poisson_adaptive_order2():
     e1_p1 = solve(nc1, 1)
     assert e1 < 0.55 * e0, (e0, e1)
     assert e1 < e1_p1, (e1, e1_p1)
+
+
+@pytest.mark.parametrize("p", [3, 4])
+def test_high_order_tri_face_exactness(p):
+    """NC tets at order ≥ 3 (round-3 verdict item 6): the full P_p trace
+    interpolation — medial-edge AND child-face-interior slaves — must
+    reproduce degree-p polynomials exactly through hanging tri faces."""
+    nc = _refined()
+    assert len(nc.tri_face_constraints) > 0
+    sp = NCFESpace(nc, p)
+    sp2 = NCFESpace(nc, 2)
+    assert sp.n_slaves > sp2.n_slaves
+
+    def f(x):
+        x = np.asarray(x)
+        out = (0.3 + x[..., 0] - 2 * x[..., 1] + 0.5 * x[..., 2]
+               + x[..., 0] * x[..., 1] ** (p - 1)
+               + 0.25 * x[..., 0] ** p + x[..., 2] ** 2
+               - x[..., 1] * x[..., 2] ** (p - 1))
+        return out
+
+    uc = jnp.asarray(f(sp.dof_coords))
+    uL = sp.prolongate(uc)
+    fes = sp.fes
+    uq = eval_values(basis_for(fes), restriction_for(fes).mult(uL))
+    gf = geom_factors_for(fes)
+    assert np.allclose(np.asarray(uq), f(np.asarray(gf.x)), atol=1e-9)
