@@ -29,6 +29,9 @@ def main():
                     help="use the Cartesian gather-free fast path")
     ap.add_argument("--simplex", action="store_true",
                     help="tet mesh (non-tensor basis, lane-major full-matrix apply)")
+    ap.add_argument("--ell", action="store_true",
+                    help="assembled ELL weighted-gather SpMV (p1-simplex "
+                         "fast path, ops/ell.py)")
     args = ap.parse_args()
 
     import jax
@@ -64,8 +67,10 @@ def main():
             fes = FESpace(mesh, order)
         for bp, kind in (("BP1", "mass"), ("BP3", "diffusion")):
             a = BilinearForm(fes).add_domain_integrator(kind)
+            op = a.assemble_ell().operator() if args.ell \
+                else a.assemble().operator()
             A = ConstrainedOperator.wrap(
-                a.assemble().operator(),
+                op,
                 fes.essential_dofs() if kind == "diffusion" else [],
             )
             M = jacobi(A.diagonal())
@@ -92,6 +97,7 @@ def main():
                 "device": str(jax.devices()[0]),
                 "structured": args.structured,
                 "simplex": args.simplex,
+                "ell": args.ell,
             }), flush=True)
 
 

@@ -239,6 +239,22 @@ class BilinearForm:
             lane=lane, std_terms=std,
         )
 
+    def assemble_ell(self, dtype=None):
+        """FULL assembly to a device ELL operator (:mod:`.ell`).
+
+        The p1-simplex fast path: at order 1 the matrix-free pipeline is
+        scatter-bound (every dof is a high-multiplicity vertex dof) while
+        the assembled matrix is tiny (nnz/row ≈ 15) and applies as J fixed
+        weighted gathers with no scatter at all — the reference's own
+        choice of the LEGACY/FULL CSR path at low order
+        (``fem/bilinearform.cpp``)."""
+        from .ell import ELLOperator
+
+        from ..utils.config import real_t
+
+        return ELLOperator.from_csr(
+            self.assemble_matrix(dtype), str(real_t(dtype)))
+
     def _assemble_elasticity_matrix(self, dtype=None):
         return _assemble_elasticity_matrix_impl(
             self.fes, self.nq1d, self._terms[0], dtype

@@ -1,0 +1,155 @@
+"""ELL-format SpMV at block-gather speed — the p1-simplex fast path.
+
+At order 1 on simplex meshes every dof is a vertex dof with multiplicity up
+to ~25 (tets), so the matrix-free L→E→Q→E→L pipeline is scatter-bound:
+measured 2.7 MDof/s BP1 vs ~70 at p2 (BASELINE.md BP table).  But a p1
+operator is also a TINY sparse matrix (nnz/row ≈ 15 — the reference runs
+its own LEGACY/FULL CSR path at p1, ``fem/bilinearform.cpp``), and an SpMV
+in row-major ELL form
+
+    y[i] = Σ_j vals[i, j] · x[cols[i, j]]          (j < J = max nnz/row)
+
+has NO scatter at all: it is J fixed gathers + a weighted sum.  The gathers
+run through the same 128-row-block + in-register lane-gather decomposition
+as :mod:`.block_gather` (XLA scalar gathers are ~1500× off roofline; whole
+128-lane rows + Mosaic ``take_along_axis`` run at memory speed), with one
+extra weight plane per gather plane multiplied in-register.
+
+Reference analog: ``SparseMatrix::Mult`` device path
+(``linalg/sparsemat.cpp``) — rebuilt TPU-first as a dense-tiled weighted
+gather instead of CSR row loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .block_gather import BlockGatherTables, _pad_src, build_tables
+from .operators import LinearOperator
+
+
+@dataclasses.dataclass(frozen=True)
+class ELLOperator:
+    """Square sparse operator in ELL layout, applied as weighted gathers.
+
+    Registered as a pytree so it can ride as a jit ARGUMENT (closed-over
+    device arrays become MLIR constants — hostile at scale)."""
+
+    tables: BlockGatherTables
+    wts: jnp.ndarray          # (J, B, 128) weight planes, codes-aligned
+    diag: jnp.ndarray         # (n,)
+
+    @property
+    def shape(self):
+        return (self.tables.nout, self.tables.nsrc)
+
+    @staticmethod
+    def from_csr(A, dtype="float32") -> "ELLOperator":
+        """Build from a scipy CSR/CSC/COO matrix (host, setup time)."""
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A)
+        n, m = A.shape
+        nnz = np.diff(A.indptr)
+        J = int(nnz.max()) if n else 0
+        cols = np.full((J, n), m, dtype=np.int64)      # m == "reads zero"
+        vals = np.zeros((J, n), dtype=np.float64)
+        rows = np.repeat(np.arange(n), nnz)
+        slot = np.arange(A.indptr[-1]) - np.repeat(A.indptr[:-1], nnz)
+        cols[slot, rows] = A.indices
+        vals[slot, rows] = A.data
+        t = build_tables(list(cols), m)
+        B = t.codes.shape[1]
+        wpad = np.zeros((J, B * 128), dtype=np.dtype(dtype))
+        wpad[:, :n] = vals
+        return ELLOperator(
+            tables=t, wts=jnp.asarray(wpad.reshape(J, B, 128)),
+            diag=jnp.asarray(A.diagonal().astype(np.dtype(dtype))),
+        )
+
+    def mult(self, x: jnp.ndarray) -> jnp.ndarray:
+        t = self.tables
+        interpret = jax.default_backend() != "tpu"
+        return _apply_w(x, t.blk, t.codes, self.wts, nsrc_rows=t.nsrc_rows,
+                        K=t.K, J=t.J, nout=t.nout, interpret=interpret)
+
+    def diagonal(self) -> jnp.ndarray:
+        return self.diag
+
+    def operator(self) -> LinearOperator:
+        return LinearOperator(shape=self.shape, mult=self.mult,
+                              diagonal_fn=self.diagonal)
+
+
+jax.tree_util.register_pytree_node(
+    ELLOperator,
+    lambda t: ((t.tables, t.wts, t.diag), None),
+    lambda aux, ch: ELLOperator(tables=ch[0], wts=ch[1], diag=ch[2]),
+)
+
+
+def _kernel_w(*refs, K, J):
+    # refs = K source planes (RB,128), J code planes, J weight planes, out
+    w_refs = refs[:K]
+    c_refs = refs[K:K + J]
+    v_refs = refs[K + J:K + 2 * J]
+    out_ref = refs[-1]
+    acc = None
+    for j in range(J):
+        code = c_refs[j][...].astype(jnp.int32)
+        lane = jnp.bitwise_and(code, 127)
+        sel = jnp.right_shift(code, 7)
+        pj = jnp.take_along_axis(w_refs[0][...], lane, axis=1)
+        for k in range(1, K):
+            gk = jnp.take_along_axis(w_refs[k][...], lane, axis=1)
+            pj = jnp.where(sel == k, gk, pj)
+        pj = pj * v_refs[j][...]
+        acc = pj if acc is None else acc + pj
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("nsrc_rows", "K", "J", "nout",
+                                             "interpret", "row_block"))
+def _apply_w(src, blk, codes, wts, *, nsrc_rows, K, J, nout,
+             interpret=False, row_block=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    src2 = _pad_src(src, nsrc_rows)
+    B = codes.shape[1]
+    W = src2[blk]                            # (K, B, 128) plane-major
+    if row_block is None:
+        csz = codes.dtype.itemsize
+        per_row = 2 * 128 * (K * src.dtype.itemsize + J * csz
+                             + J * wts.dtype.itemsize + src.dtype.itemsize)
+        row_block = max(64, min(1024, (6 * 2 ** 20 // per_row) // 64 * 64))
+    RB = min(row_block, B)
+    nblk = (B + RB - 1) // RB
+    if B % RB:
+        padb = nblk * RB - B
+        W = jnp.concatenate(
+            [W, jnp.zeros((K, padb, 128), W.dtype)], axis=1)
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((J, padb, 128), codes.dtype)], axis=1)
+        wts = jnp.concatenate(
+            [wts, jnp.zeros((J, padb, 128), wts.dtype)], axis=1)
+    planes = (tuple(W[k] for k in range(K))
+              + tuple(codes[j] for j in range(J))
+              + tuple(wts[j].astype(src.dtype) for j in range(J)))
+    spec2d = pl.BlockSpec((RB, 128), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_kernel_w, K=K, J=J),
+            grid=(nblk,),
+            in_specs=[spec2d] * (K + 2 * J),
+            out_specs=spec2d,
+            out_shape=jax.ShapeDtypeStruct((nblk * RB, 128), src.dtype),
+            interpret=interpret,
+        )(*planes)
+    return out.reshape(-1)[:nout]
