@@ -266,6 +266,60 @@ def contact_solve(
     return u, lam, max_outer
 
 
+def _poly_area(pts: np.ndarray) -> float:
+    """Signed (shoelace) area of a 2D polygon."""
+    if len(pts) < 3:
+        return 0.0
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def _clip_to_ref_tri(poly: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman clip of a CCW 2D polygon against the reference
+    triangle {u ≥ 0, v ≥ 0, u + v ≤ 1}."""
+    def clip(pts, f):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            a, b = pts[i], pts[(i + 1) % n]
+            fa, fb = f(a), f(b)
+            if fa >= -1e-12:
+                out.append(a)
+            if (fa > 1e-12 and fb < -1e-12) or (fa < -1e-12 and fb > 1e-12):
+                t = fa / (fa - fb)
+                out.append(a + t * (b - a))
+        return out
+
+    pts = [np.asarray(q, dtype=float) for q in poly]
+    for f in (lambda q: q[0], lambda q: q[1],
+              lambda q: 1.0 - q[0] - q[1]):
+        pts = clip(pts, f)
+        if len(pts) < 3:
+            return np.zeros((0, 2))
+    return np.asarray(pts)
+
+
+def _polys_to_rule(polys, qt: np.ndarray, wt: np.ndarray):
+    """Map a reference-triangle rule (weights summing to its area 1/2)
+    onto the centroid fans of 2D polygons; returns (pts, wts)."""
+    pts, wts = [], []
+    for cp in polys:
+        ctr = cp.mean(axis=0)
+        m = len(cp)
+        for k in range(m):
+            v0, v1 = cp[k], cp[(k + 1) % m]
+            a2 = ((v0[0] - ctr[0]) * (v1[1] - ctr[1])
+                  - (v1[0] - ctr[0]) * (v0[1] - ctr[1]))
+            if abs(a2) < 1e-14:
+                continue
+            pts.append(ctr[None, :] + qt[:, :1] * (v0 - ctr)[None, :]
+                       + qt[:, 1:2] * (v1 - ctr)[None, :])
+            wts.append(wt * abs(a2))
+    if not pts:
+        return np.zeros((0, 2)), np.zeros(0)
+    return np.concatenate(pts), np.concatenate(wts)
+
+
 def _face_rule(geom: Geometry, order: int):
     """Quadrature on the reference face: points (nq, rdim), weights (nq,)."""
     from .intrules import gauss_legendre_1d, simplex_rule
@@ -384,6 +438,46 @@ def build_mortar_constraints(
             qref = np.stack([np.repeat(qu, len(qv)),
                              np.tile(qv, len(qu))], axis=1)
             qw = np.outer(wu, wv).ravel()
+        elif bgeom == Geometry.TRIANGLE:
+            # TRIANGLE-slave mortar segmentation (the simplex analog of
+            # the tensor splits; the role of Tribol's clipped mortar
+            # segments): project each nearby master face affinely into
+            # the slave's (u,v) frame, clip against the reference
+            # triangle, and integrate each clip cell with its own mapped
+            # Gauss rule — the master trace is smooth inside a cell and
+            # kinked only on its boundary, so per-cell Gauss restores
+            # patch-test exactness on non-matching tet grids.  Falls back
+            # to the plain rule when the projections do not tile the
+            # slave face (holes/overlaps — e.g. strongly curved masters).
+            nd_f = gmap.shape[1]
+            c_idx = [0, p, nd_f - 1]       # lattice corners (0,0),(p,0),(0,p)
+            S0 = Cs[c_idx[0]]
+            Emat = np.stack([Cs[c_idx[1]] - S0, Cs[c_idx[2]] - S0], axis=1)
+            EtE = Emat.T @ Emat
+            sc = Cs.mean(axis=0)
+            near = np.nonzero(((sc >= lo) & (sc <= hi)).all(axis=1))[0]
+            polys = []
+            for ci in near:
+                uv, ok = [], True
+                for vtx in mC[ci][c_idx]:
+                    t = np.linalg.solve(EtE, Emat.T @ (vtx - S0))
+                    if np.linalg.norm(Emat @ t + S0 - vtx) > max_pair_dist:
+                        ok = False
+                        break
+                    uv.append(t)
+                if not ok:
+                    continue
+                uv = np.asarray(uv)
+                if _poly_area(uv) < 0:
+                    uv = uv[::-1]
+                cp = _clip_to_ref_tri(uv)
+                if len(cp) >= 3 and _poly_area(cp) > 1e-12:
+                    polys.append(cp)
+            cover = sum(_poly_area(cp) for cp in polys)
+            if polys and abs(cover - 0.5) < 1e-8:
+                qref, qw = _polys_to_rule(polys, qref0, qw0)
+            else:
+                qref, qw = qref0, qw0
         else:
             qref, qw = qref0, qw0
         Bq, Gq = _face_basis(bgeom, p, qref)   # (nq, nd), (nq, nd, rdim)
