@@ -34,6 +34,12 @@ def main():
                          "fast path, ops/ell.py)")
     args = ap.parse_args()
 
+    # keep the CPU backend available alongside the tunneled TPU so host
+    # setup paths (e.g. assemble_matrix for --ell) stay off-device
+    if "JAX_PLATFORMS" in os.environ and \
+            "cpu" not in os.environ["JAX_PLATFORMS"]:
+        os.environ["JAX_PLATFORMS"] += ",cpu"
+
     import jax
 
     if args.cpu:

@@ -262,7 +262,24 @@ class BilinearForm:
 
     # ------------------------------------------------------------------
     def assemble_matrix(self, dtype=None):
-        """FULL assembly to scipy CSR (reference LEGACY/FULL levels)."""
+        """FULL assembly to scipy CSR (reference LEGACY/FULL levels).
+
+        Runs on the CPU backend when available: this is a host setup path,
+        and its (ne, nq, 3, 3)-shaped intermediates tile-pad ~57× on TPU
+        (observed 22 GB HBM at 215k tets — an OOM for what is ~100 MB of
+        actual data)."""
+        try:
+            import jax
+
+            cpus = jax.devices("cpu")
+        except RuntimeError:
+            cpus = None
+        if cpus and jax.default_backend() != "cpu":
+            with jax.default_device(cpus[0]):
+                return self._assemble_matrix_impl(dtype)
+        return self._assemble_matrix_impl(dtype)
+
+    def _assemble_matrix_impl(self, dtype=None):
         import scipy.sparse as sp
 
         fes = self.fes
