@@ -62,6 +62,14 @@ def main():
               matmul_precision=os.environ.get("BENCH_MATMUL", "high"),
               quad_extra=int(os.environ.get("BENCH_QUAD_EXTRA", "0")))
 
+    # persistent XLA executable cache: re-runs of the same step skip the
+    # multi-minute compile (BENCH_COMPILE_CACHE=0 opts out for cold timings)
+    if os.environ.get("BENCH_COMPILE_CACHE", "1") == "1":
+        from cardiac_ablation_ecm2_tpu.utils.config import \
+            enable_compilation_cache
+
+        enable_compilation_cache()
+
     L = 0.04
     # BENCH_MESH: "cartesian" (default), "cardiac-tet" (genuinely
     # unstructured Delaunay tets + electrode notch), "cardiac-hex"

@@ -34,6 +34,13 @@ def setup_jax(args):
         jax.config.update("jax_platforms", "cpu")
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    # persistent XLA executable cache (CAX_COMPILE_CACHE=0 disables): repeat
+    # driver runs skip recompiles of unchanged steps
+    if os.environ.get("CAX_COMPILE_CACHE", "") != "0":
+        from cardiac_ablation_ecm2_tpu.utils.config import \
+            enable_compilation_cache
+
+        enable_compilation_cache()
 
 
 def load_mesh(args, default="inline-quad-8"):

@@ -46,6 +46,14 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
+    # persistent executable cache: repeat rehearsals of the unchanged step
+    # skip the multi-minute compile (CAX_COMPILE_CACHE=0 for cold timings)
+    if os.environ.get("CAX_COMPILE_CACHE", "") != "0":
+        from cardiac_ablation_ecm2_tpu.utils.config import \
+            enable_compilation_cache
+
+        enable_compilation_cache()
+
     import jax.numpy as jnp
     import numpy as np
 
