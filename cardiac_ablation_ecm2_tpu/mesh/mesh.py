@@ -443,7 +443,7 @@ def unique_faces(mesh: Mesh) -> Tuple[np.ndarray, np.ndarray]:
 
 def _uniform_refine(mesh: Mesh) -> Mesh:
     if mesh.nodes is not None:
-        raise NotImplementedError("refinement of curved meshes")
+        return _refine_curved(mesh)
     if mesh.geom == Geometry.TRIANGLE:
         return _refine_tri(mesh)
     if mesh.geom not in (Geometry.SQUARE, Geometry.CUBE, Geometry.SEGMENT):
@@ -552,6 +552,80 @@ def _uniform_refine(mesh: Mesh) -> Mesh:
         attributes=attributes,
         boundary=boundary,
         bdr_attributes=bdr_attributes,
+    )
+
+
+def _child_corner_coords(geom: Geometry) -> np.ndarray:
+    """Parent-reference corner coordinates of each refinement child,
+    (nchild, nv_el, dim), in the CHILD BLOCK ORDER the straight refiners
+    emit (tensor: per corner offset; triangle: T0..T2 corner-adjacent then
+    the inverted center T3)."""
+    if geom == Geometry.TRIANGLE:
+        return np.array([
+            [[0, 0], [0.5, 0], [0, 0.5]],
+            [[0.5, 0], [1, 0], [0.5, 0.5]],
+            [[0, 0.5], [0.5, 0.5], [0, 1]],
+            [[0.5, 0], [0.5, 0.5], [0, 0.5]],
+        ])
+    corners = REF_VERTS[geom].astype(np.float64)      # {0,1}^dim
+    return np.stack([(off + corners) / 2.0 for off in corners])
+
+
+def _refine_curved(mesh: Mesh) -> Mesh:
+    """Uniform refinement of a curved (high-order ``nodes``) mesh.
+
+    The reference refines curved meshes through the nodal GridFunction
+    (``mesh/mesh.cpp`` ``UniformRefinement2D/3D`` + ``CurvedMeshUpdate``);
+    here each child's geometry E-vector is the parent's order-q map
+    composed with the affine child embedding — still degree q, so the
+    evaluation ``B_c @ nodes_parent`` reproduces the geometry EXACTLY.
+    Child vertices are moved onto the curved geometry (corner lattice
+    values), so downstream straight-vertex consumers see consistent
+    coordinates.
+    """
+    from ..fem.basis import h1_nodes, simplex_basis_matrices
+    from ..fem.faces import _eval_volume_basis
+    from ..fem.fespace import _node_index_lookup, _q1_eval_matrix
+
+    geom, q = mesh.geom, mesh.nodes_order
+    if geom not in (Geometry.SEGMENT, Geometry.SQUARE, Geometry.CUBE,
+                    Geometry.TRIANGLE):
+        raise NotImplementedError(f"curved refinement for {geom}")
+    ne = mesh.ne
+    straight = Mesh(
+        geom=geom, vertices=mesh.vertices, elements=mesh.elements,
+        attributes=mesh.attributes, boundary=mesh.boundary,
+        bdr_attributes=mesh.bdr_attributes,
+    )
+    fine = _uniform_refine(straight)
+
+    ref_q = h1_nodes(geom, q).astype(np.float64)      # (nd_q, dim)
+    child_corners = _child_corner_coords(geom)        # (nc, nv_el, dim)
+    if geom == Geometry.TRIANGLE:
+        E, _ = simplex_basis_matrices(geom, 1, ref_q)  # (nd_q, nv_el)
+    else:
+        E = _q1_eval_matrix(geom, ref_q)
+    from ..fem.fespace import _batched_eval
+
+    blocks = []
+    for C in child_corners:
+        pts = E @ C                                    # child lattice in parent ref
+        B_c = _eval_volume_basis(geom, q, pts)         # (nd_q, nd_q)
+        blocks.append(_batched_eval(B_c, mesh.nodes))
+    nodes = np.concatenate(blocks, axis=0)             # (nc*ne, nd_q, sdim)
+
+    # move the fine vertices onto the curved geometry (corner node values)
+    lookup = _node_index_lookup(geom, q)
+    latt_v = np.rint(REF_VERTS[geom] * q).astype(np.int64)
+    vertices = fine.vertices.copy()
+    for lv in range(NUM_VERTS[geom]):
+        slot = lookup[tuple(latt_v[lv])]
+        vertices[fine.elements[:, lv]] = nodes[:, slot]
+
+    return Mesh(
+        geom=geom, vertices=vertices, elements=fine.elements,
+        attributes=fine.attributes, boundary=fine.boundary,
+        bdr_attributes=fine.bdr_attributes, nodes=nodes, nodes_order=q,
     )
 
 
