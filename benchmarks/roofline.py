@@ -39,11 +39,38 @@ def cost(compiled):
     return ca.get("flops", 0.0), ca.get("bytes accessed", 0.0)
 
 
+def _cardiac_mesh(kind: str, n: int, L: float):
+    """Deterministic cardiac mesh, cached like bench.py's (same file key)."""
+    import numpy as np
+
+    from cardiac_ablation_ecm2_tpu.fem.geometry import Geometry
+    from cardiac_ablation_ecm2_tpu.mesh.mesh import Mesh
+
+    path = f"/tmp/bench_mesh_{kind}_{n}.npz"
+    if os.path.exists(path):
+        z = np.load(path)
+        return Mesh(geom=Geometry(int(z["geom"])), vertices=z["vertices"],
+                    elements=z["elements"], attributes=z["attributes"],
+                    boundary=z["boundary"], bdr_attributes=z["bdr_attributes"])
+    from cardiac_ablation_ecm2_tpu.mesh import cardiac
+
+    maker = (cardiac.make_cardiac_tet_mesh if kind == "cardiac-tet"
+             else cardiac.make_cardiac_hex_mesh)
+    m = maker(n, lengths=(L, L, L / 2), electrode_radius=0.004)
+    np.savez(path, geom=int(m.geom), vertices=m.vertices,
+             elements=m.elements, attributes=m.attributes,
+             boundary=m.boundary, bdr_attributes=m.bdr_attributes)
+    return m
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=48)
     ap.add_argument("--order", type=int, default=2)
     ap.add_argument("--unstructured", action="store_true")
+    ap.add_argument("--mesh", default="cartesian",
+                    choices=["cartesian", "cardiac-tet", "cardiac-hex"],
+                    help="cardiac meshes imply the unstructured path")
     args = ap.parse_args()
 
     import jax
@@ -61,11 +88,16 @@ def main():
     configure(dtype="float32", matmul_precision="high", quad_extra=0)
     n, order = args.n, args.order
     L = 0.04
-    mesh = make_cartesian_3d(n, n, n, L, L, L)
-    if args.unstructured:
+    if args.mesh != "cartesian":
+        mesh = _cardiac_mesh(args.mesh, n, L)
+        args.unstructured = True
         fes = FESpace(mesh, order)
     else:
-        fes = CartesianFESpace(mesh, order, (n, n, n), (L, L, L))
+        mesh = make_cartesian_3d(n, n, n, L, L, L)
+        if args.unstructured:
+            fes = FESpace(mesh, order)
+        else:
+            fes = CartesianFESpace(mesh, order, (n, n, n), (L, L, L))
 
     def src(x):
         r2 = sum((x[..., i] - L / 2) ** 2 for i in range(3))

@@ -268,9 +268,35 @@ def build_rt_operator(
 def vecfe_linear_form(op: VecFEOperator, vec_fn: Callable) -> jnp.ndarray:
     """(c, φ) RHS vector for a vector coefficient c(x) (VectorFEDomainLF,
     fem/lininteg.hpp:364).  Uses the operator's mass term's physical basis."""
-    name, qd_mass, Bq = next(t for t in op.terms if t[0] == "mass")
-    c = jnp.asarray(vec_fn(np.asarray(op.gf.x)), Bq.dtype)   # (ne, nq, dim)
-    v = jnp.einsum("eqnc,eqc->en", Bq, op.gf.wdet[..., None] * c)
+    return _vecfe_lf_against(op, "mass", vec_fn)
+
+
+def vecfe_linear_form_curl(op: VecFEOperator, fn: Callable) -> jnp.ndarray:
+    """(f, curl φ) RHS (VectorFEDomainLFCurl, fem/lininteg.hpp:393).
+
+    ``fn(x)`` returns a 3-vector in 3D or a scalar in 2D (where curl is
+    scalar).  Requires the operator to carry a curlcurl term (its physical
+    curl basis is reused)."""
+    return _vecfe_lf_against(op, "curlcurl", fn)
+
+
+def vecfe_linear_form_div(op: VecFEOperator, fn: Callable) -> jnp.ndarray:
+    """(f, div φ) RHS for RT spaces (VectorFEDomainLFDiv,
+    fem/lininteg.hpp:417).  ``fn(x)`` is scalar; requires a divdiv term."""
+    return _vecfe_lf_against(op, "divdiv", fn)
+
+
+def _vecfe_lf_against(op: VecFEOperator, term: str, fn: Callable):
+    try:
+        _, _qd, Bq = next(t for t in op.terms if t[0] == term)
+    except StopIteration:
+        raise ValueError(
+            f"operator has no {term!r} term; build it with the matching "
+            f"coefficient to expose the physical basis")
+    f = jnp.asarray(fn(np.asarray(op.gf.x)), Bq.dtype)
+    if f.ndim == Bq.ndim - 2:                    # scalar data for c=1 terms
+        f = f[..., None]
+    v = jnp.einsum("eqnc,eqc->en", Bq, op.gf.wdet[..., None] * f)
     v = op._post(v)
     out = jnp.zeros(op.ndof, dtype=Bq.dtype)
     return out.at[op.gather.reshape(-1)].add(v.reshape(-1))
