@@ -160,16 +160,11 @@ def domain_lf_grad(fes, vec, nq1d: Optional[int] = None,
     return restriction_for(fes).mult_transpose(b_e)
 
 
-def boundary_normal_lf(
-    fes, vec, bdr_marker=None, nq1d: Optional[int] = None, dtype=None
-) -> jnp.ndarray:
-    """∮ (f·n) v over marked boundary faces with the *outward* unit normal
-    (BoundaryNormalLFIntegrator, lininteg.hpp:224)."""
-    mesh = fes.mesh
-    rt = real_t(dtype)
-    if mesh.nbe == 0:
-        return jnp.zeros(fes.ndof, dtype=rt)
-    gf, db = _bdr_geom(fes, nq1d, str(rt))
+def _outward_unit_normals(mesh, gf) -> np.ndarray:
+    """(nbe, nq, sdim) outward unit normals at boundary quadrature points.
+
+    Sign fixed by dotting against (face point − adjacent element centroid);
+    host-side setup path."""
     J = np.asarray(gf.jac)                               # (nbe, nq, sdim, dim-1)
     if mesh.dim == 3:
         n = np.cross(J[..., 0], J[..., 1])               # area-weighted
@@ -177,7 +172,6 @@ def boundary_normal_lf(
         t = J[..., 0]
         n = np.stack([t[..., 1], -t[..., 0]], axis=-1)
     n = n / np.linalg.norm(n, axis=-1, keepdims=True)
-    # outward sign: dot with (face point − adjacent element centroid)
     vmap = {}
     for e in range(mesh.ne):
         for v in mesh.elements[e]:
@@ -197,6 +191,20 @@ def boundary_normal_lf(
         out = np.asarray(gf.x[f]).mean(axis=0) - cent[e]
         if np.dot(n[f].mean(axis=0), out) < 0:
             n[f] = -n[f]
+    return n
+
+
+def boundary_normal_lf(
+    fes, vec, bdr_marker=None, nq1d: Optional[int] = None, dtype=None
+) -> jnp.ndarray:
+    """∮ (f·n) v over marked boundary faces with the *outward* unit normal
+    (BoundaryNormalLFIntegrator, lininteg.hpp:224)."""
+    mesh = fes.mesh
+    rt = real_t(dtype)
+    if mesh.nbe == 0:
+        return jnp.zeros(fes.ndof, dtype=rt)
+    gf, db = _bdr_geom(fes, nq1d, str(rt))
+    n = _outward_unit_normals(mesh, gf)
     if callable(vec):
         fq = np.asarray(vec(np.asarray(gf.x)))           # (nbe, nq, sdim)
     else:
@@ -207,6 +215,40 @@ def boundary_normal_lf(
         q = q * jnp.asarray(sel.astype(float), rt)[:, None]
     b_e = eval_values_t(db, q)
     return bdr_restriction_for(fes).mult_transpose(b_e)
+
+
+def vector_boundary_flux_lf(
+    fes, coeff, bdr_marker=None, nq1d: Optional[int] = None, dtype=None,
+    vdim: Optional[int] = None,
+) -> jnp.ndarray:
+    """∮ f (v·n) over marked boundary faces for a vdim-valued H1 test space
+    (VectorBoundaryFluxLFIntegrator, lininteg.hpp:443) — the natural-traction
+    RHS of elasticity under pressure loads.  ``coeff`` is scalar (value or
+    callable).  Returns (ndof_scalar · vdim,) in byNODES ordering."""
+    mesh = fes.mesh
+    rt = real_t(dtype)
+    vdim = vdim or getattr(fes, "vdim", mesh.sdim) or mesh.sdim
+    nds = fes.ndof_scalar
+    if mesh.nbe == 0:
+        return jnp.zeros(nds * vdim, dtype=rt)
+    gf, db = _bdr_geom(fes, nq1d, str(rt))
+    n = _outward_unit_normals(mesh, gf)                  # (nbe, nq, sdim)
+    if callable(coeff):
+        fq = np.asarray(coeff(np.asarray(gf.x)))         # (nbe, nq)
+    else:
+        fq = np.broadcast_to(float(coeff), n.shape[:2])
+    sel = 1.0
+    if bdr_marker is not None:
+        sel = np.isin(
+            mesh.bdr_attributes, np.asarray(list(bdr_marker))
+        ).astype(float)[:, None]
+    w = jnp.asarray(fq * sel, rt) * gf.wdet              # (nbe, nq)
+    restr = bdr_restriction_for(fes)
+    comps = []
+    for c in range(vdim):
+        q = w * jnp.asarray(n[..., c], rt)
+        comps.append(restr.mult_transpose(eval_values_t(db, q)))
+    return jnp.concatenate(comps)
 
 
 def delta_lf(fes, points, strengths=None, dtype=None) -> jnp.ndarray:
