@@ -101,7 +101,33 @@ def main():
                   boundary=m.boundary, bdr_attributes=m.bdr_attributes)
         return m
 
-    if mesh_kind == "cardiac-tet":
+    # BENCH_STRUCTURED=1 + cardiac-hex: the masked-lattice fast path — the
+    # carved hex problem on the FULL lattice's gather-free CartesianFESpace
+    # with zeroed notch elements + pinned carved dofs.  Equivalent to the
+    # carved mesh by construction (tests/test_masked_lattice.py: 1e-8).
+    masked = (mesh_kind == "cardiac-hex"
+              and os.environ.get("BENCH_STRUCTURED", "0") == "1")
+    elem_mask = ess_extra = None
+    ndof_active = None
+    if masked:
+        import numpy as _np
+
+        from cardiac_ablation_ecm2_tpu.fem.masked_lattice import (
+            masked_lattice_active_count,
+            masked_lattice_essential,
+        )
+        from cardiac_ablation_ecm2_tpu.mesh.cardiac import (
+            make_cardiac_hex_lattice,
+        )
+
+        mesh, keep, ns = make_cardiac_hex_lattice(
+            n, lengths=(L, L, L / 2), electrode_radius=0.004)
+        fes = CartesianFESpace(mesh, order, ns, (L, L, L / 2))
+        elem_mask = keep.astype(_np.float32)
+        ess_extra = masked_lattice_essential(ns, order, keep)
+        ndof_active = masked_lattice_active_count(ns, order, keep)
+        unstructured = False
+    elif mesh_kind == "cardiac-tet":
         from cardiac_ablation_ecm2_tpu.mesh.cardiac import make_cardiac_tet_mesh
 
         mesh = _cached_cardiac(make_cardiac_tet_mesh)
@@ -111,7 +137,9 @@ def main():
         mesh = _cached_cardiac(make_cardiac_hex_mesh)
     else:
         mesh = make_cartesian_3d(n, n, n, L, L, L)
-    if unstructured:
+    if masked:
+        pass
+    elif unstructured:
         # generic unstructured path: entity-key dof numbering + block-gather
         # restriction (the path a real cardiac mesh takes)
         from cardiac_ablation_ecm2_tpu.fem import FESpace
@@ -147,12 +175,14 @@ def main():
     with setup_ctx:
         op = bioheat.BioheatOperator(
             fes=fes, rho_c=3.6e6, k=0.54, w_cb=2e4, T_a=37.0, q_met=src,
-            ess_bdr=[1, 2, 3, 4, 5, 6], rel_tol=tol, max_iter=300,
+            ess_bdr=None if masked else [1, 2, 3, 4, 5, 6],
+            elem_mask=elem_mask, ess_dofs=ess_extra,
+            rel_tol=tol, max_iter=300,
             dtype=dtype, fused_setup=True, theta_form=True,
             qdata_bf16=os.environ.get("BENCH_BF16_QDATA", "0") == "1",
             cg_variant=os.environ.get("BENCH_CG", "classic"),
             collapse_uniform_qdata=(
-                not unstructured
+                not unstructured and not masked
                 and os.environ.get("BENCH_NO_COLLAPSE", "0") != "1"),
         )
     solver = ode.select("sdirk33")
@@ -241,7 +271,11 @@ def main():
               "sync", file=sys.stderr)
         sync_steps = True
         per_step, scale_ok, Tc = measure(True)
-    dofs_per_s = fes.ndof / per_step
+    # masked-lattice path: report the CARVED problem's dof count (what the
+    # MFEM baseline solves), not the full lattice's (which also numbers the
+    # pinned notch interior)
+    ndof_eff = ndof_active if ndof_active is not None else fes.ndof
+    dofs_per_s = ndof_eff / per_step
 
     baseline = None
     try:
@@ -258,7 +292,7 @@ def main():
         elif rows:
             # scale the headline row by dof count (throughput is ~flat on CPU)
             r0 = rows[0]
-            baseline = r0["seconds_per_step"] * fes.ndof / r0.get("ndof", fes.ndof)
+            baseline = r0["seconds_per_step"] * ndof_eff / r0.get("ndof", ndof_eff)
     except Exception:
         pass
     vs = (baseline / per_step) if baseline else 0.0
@@ -272,13 +306,14 @@ def main():
         "suspect_timing": suspect,
         "extra": {
             "seconds_per_step": per_step,
-            "ndof": fes.ndof,
+            "ndof": ndof_eff,
             "ne": mesh.ne,
             "order": order,
             "dtype": dtype,
             "device": str(jax.devices()[0]),
             "solver": "sdirk33+pcg(jacobi)", "rel_tol": tol,
-            "path": "unstructured" if unstructured else "structured",
+            "path": ("masked-structured" if masked else
+                     "unstructured" if unstructured else "structured"),
             "mesh": mesh_kind,
         },
     }

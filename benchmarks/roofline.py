@@ -112,28 +112,48 @@ def main():
     u = jnp.zeros(fes.ndof, jnp.float32)
 
     # -- operator apply: (M_rc + gamma A) v  (the CG hot loop body)
+    # big operator arrays ride as jit ARGUMENTS (bioheat.big_arrays): inlined
+    # MLIR constants break/stall the tunneled remote compile at scale
     gamma = jnp.float32(0.1)
+    big = bioheat.big_arrays(op)
 
-    def apply_once(v):
-        return op._Mrc_apply(v) + gamma * op._A_apply(v)
+    def apply_once(v, big):
+        o = op.override(**big)
+        return o._Mrc_apply(v) + gamma * o._A_apply(v)
+
+    def report(tag, jf, *a):
+        lowered = jf.lower(*a)
+        comp = lowered.compile()
+        fl, by = cost(comp)
+        t = timeit(jf, *a)
+        print(f"{tag}: {t*1e3:8.3f} ms | XLA {fl/1e9:7.2f} GFLOP "
+              f"{by/1e9:7.3f} GB | achieved {fl/t/1e12:6.2f} TFLOP/s "
+              f"({100*fl/t/1e12/V5E_F32_TFLOPS:4.1f}% f32 peak), "
+              f"{by/t/1e9:6.1f} GB/s ({100*by/t/1e9/V5E_HBM_GBS:4.1f}%"
+              f" HBM peak)")
+        return t, comp
 
     japply = jax.jit(apply_once)
-    lowered = japply.lower(u)
-    compiled = lowered.compile()
-    fl, by = cost(compiled)
-    t_apply = timeit(japply, u)
-    print(f"apply: {t_apply*1e3:8.3f} ms | XLA {fl/1e9:7.2f} GFLOP "
-          f"{by/1e9:7.3f} GB | achieved {fl/t_apply/1e12:6.2f} TFLOP/s "
-          f"({100*fl/t_apply/1e12/V5E_F32_TFLOPS:4.1f}% f32 peak), "
-          f"{by/t_apply/1e9:6.1f} GB/s ({100*by/t_apply/1e9/V5E_HBM_GBS:4.1f}%"
-          f" HBM peak)")
+    t_apply, compiled = report("apply(M)+apply(A)", japply, u, big)
+
+    # the REAL CG hot-loop body: one fused restriction round trip
+    def fused_once(v, big):
+        return op.override(**big)._implicit_lhs_apply(gamma, v)
+
+    t_fused, _ = report("fused lhs apply  ", jax.jit(fused_once), u, big)
+    t_apply = t_fused                      # use the real body for shares
+
+    # restriction round trip alone (L→E gather + E→L scatter)
+    restr = op.restr
+    if hasattr(restr, "mult_t"):
+        def restr_rt(v):
+            return restr.mult_transpose_t(restr.mult_t(v))
+
+        report("restriction L↔E  ", jax.jit(restr_rt), u)
 
     # -- CG iterations per stage + full step time
     solver = ode.select("sdirk33")
-
-    @jax.jit
-    def step(T, t, dt):
-        return solver.step(op, T, t, dt)
+    step = bioheat.make_stepper(op, solver)
 
     T0 = jnp.zeros(fes.ndof, jnp.float32)
     T1, _ = step(T0, jnp.float32(0), jnp.float32(0.25))
@@ -143,15 +163,16 @@ def main():
     # iterations per stage: call implicit_solve directly with info
     from cardiac_ablation_ecm2_tpu.linalg.solvers import cg as cg_fn
 
-    def stage_iters(gamma_v, T):
-        rhs = op._zero_ess(op.residual(T))
+    def stage_iters(gamma_v, T, big):
+        o = op.override(**big)
+        rhs = o._zero_ess(o.residual(T))
 
         def lhs(v):
-            z = op._zero_ess(v)
-            y = op._Mrc_apply(z) + gamma_v * op._A_apply(z)
-            return op._zero_ess(y) + (v - z)
+            z = o._zero_ess(v)
+            y = o._Mrc_apply(z) + gamma_v * o._A_apply(z)
+            return o._zero_ess(y) + (v - z)
 
-        diag = op.Mrc_diag + gamma_v * op.A_diag
+        diag = o.Mrc_diag + gamma_v * o.A_diag
         diag = diag.at[op.ess].set(1.0) if op.has_ess else diag
         inv = 1.0 / diag
         _, info = cg_fn(lhs, rhs, M=lambda r: inv * r, rel_tol=op.rel_tol,
@@ -160,7 +181,7 @@ def main():
 
     tab = solver.tableau
     g0 = float(tab.a[0, 0]) * 0.25
-    it0 = int(jax.jit(stage_iters)(jnp.float32(g0), T0))
+    it0 = int(jax.jit(stage_iters)(jnp.float32(g0), T0, big))
     print(f"step:  {t_step*1e3:8.2f} ms | stage-1 CG iters {it0} "
           f"(x{tab.stages} stages) | apply share "
           f"≈ {100*it0*tab.stages*t_apply/t_step:4.0f}%")

@@ -226,6 +226,50 @@ def make_cardiac_hex_mesh(
     )
 
 
+def make_cardiac_hex_lattice(
+    n: int = 24,
+    lengths=(40.0, 40.0, 20.0),
+    electrode_radius: float = 4.0,
+    jitter: float = 0.22,
+    seed: int = 0,
+):
+    """Masked-lattice form of :func:`make_cardiac_hex_mesh`: the FULL
+    warped/jittered hex lattice plus a keep-mask marking the elements the
+    carved mesh retains.
+
+    Same vertices/warp/carve as the carved mesh (same seed ⇒ identical
+    geometry), but neither Morton reorder nor vertex remap: element order
+    stays x-fastest lexicographic so a ``CartesianFESpace`` over the full
+    lattice (gather-free structured restriction) can run the carved problem
+    by zeroing the removed elements' qdata (``BioheatOperator.elem_mask``)
+    and pinning the carved-surface + inactive dofs
+    (``fem.masked_lattice.masked_lattice_essential``).  Returns
+    ``(mesh_full, keep, ns)`` with ``ns`` the per-axis element counts.
+    """
+    rng = np.random.default_rng(seed)
+    L = np.asarray(lengths, dtype=np.float64)
+    ns = np.array(
+        [n, max(2, int(round(n * L[1] / L[0]))),
+         max(2, int(round(n * L[2] / L[0])))]
+    )
+    m = make_cartesian_3d(*map(int, ns), *map(float, L))
+    pts = _jitter(m.vertices.copy(), L / ns, L, jitter, rng)
+    pts = _warp(pts, L)
+
+    ctr = _electrode_center(L)
+    cent = pts[m.elements].mean(axis=1)
+    keep = np.linalg.norm(cent - ctr, axis=1) > electrode_radius
+    mesh_full = Mesh(
+        geom=Geometry.CUBE,
+        vertices=pts,
+        elements=m.elements,
+        attributes=m.attributes,
+        boundary=m.boundary,
+        bdr_attributes=m.bdr_attributes,
+    )
+    return mesh_full, keep, tuple(int(v) for v in ns)
+
+
 def rf_source_q(center, sigma: float = 3.0, power: float = 5e6):
     """Gaussian SAR-like volumetric source [W/m³-ish] centered at the
     electrode tip — the bench's stand-in for the coupled RF Joule term."""

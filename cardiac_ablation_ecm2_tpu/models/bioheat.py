@@ -110,6 +110,17 @@ class BioheatOperator:
     #: ``linalg/solvers.cg_merged`` — identical iterates, one sync region
     #: per iteration; targets the loop-overhead half of the roofline).
     cg_variant: str = "classic"
+    #: inactive-element mask (ne,) of 0/1: masked elements contribute NOTHING
+    #: (qdata, RHS, diagonals).  The masked-lattice fast path: carved
+    #: lattice-topology geometries (e.g. the cardiac hex mesh's electrode
+    #: notch) keep the gather-free CartesianFESpace restriction — the carved
+    #: region is zeroed out and its dofs pinned via ``ess_dofs``
+    #: (fem/masked_lattice.py).  Equivalent to remeshing by construction:
+    #: removed elements' element matrices are exactly zero.
+    elem_mask: object = None
+    #: explicit essential dof ids (unioned with ``ess_bdr``'s) — the
+    #: masked-lattice path passes the carved-surface + inactive dofs here.
+    ess_dofs: object = None
 
     def __post_init__(self):
         fes = self.fes
@@ -139,6 +150,12 @@ class BioheatOperator:
             q = self.Mw_qd * self.T_a
             if src_q is not None:
                 q = q + self.gf.wdet * src_q
+            if self.elem_mask is not None:
+                m = jnp.asarray(self.elem_mask, dt_)
+                self.Mrc_qd = self.Mrc_qd * m[:, None]
+                self.Mw_qd = self.Mw_qd * m[:, None]
+                self.K_qd = self.K_qd * m[None, :, None]
+                q = q * m[:, None]
             self.b_const = self.restr.mult_transpose(
                 eval_values_t(self.db, q)
             )
@@ -175,6 +192,12 @@ class BioheatOperator:
             q = qw * self.T_a
             if src_q is not None:
                 q = q + gf.wdet * src_q
+            if self.elem_mask is not None:
+                m = jnp.asarray(self.elem_mask, rt)
+                qm = qm * m[:, None]
+                qw = qw * m[:, None]
+                qk = qk * m[None, :, None]
+                q = q * m[:, None]
             b = restr.mult_transpose(eval_values_t(db, q))
             return qm, qw, qk, b
 
@@ -189,6 +212,11 @@ class BioheatOperator:
             ess = fes.essential_dofs(self.ess_bdr)
         else:
             ess = np.zeros(0, dtype=np.int32)
+        if self.ess_dofs is not None:
+            ess = np.union1d(
+                np.asarray(ess, np.int64),
+                np.asarray(self.ess_dofs, np.int64),
+            ).astype(np.int32)
         self.ess = jnp.asarray(ess, dtype=index_t())
         self.has_ess = len(ess) > 0
         # constrained-dof MASK: XLA scatters (.at[ess].set) cost ~2 applies

@@ -115,6 +115,12 @@ def main():
     T, t = sim.step(sim.T0, 0.0, 0.25)
     jax.block_until_ready(T)
     step_s = time.time() - t0
+    # compile vs execute split: a SECOND step hits the in-process executable
+    # cache, so its wall time is pure execution; compile ≈ first − second.
+    t0 = time.time()
+    T2, _ = sim.step(T, 0.25, 0.25)
+    jax.block_until_ready(T2)
+    exec_s = time.time() - t0
     out = sim.gather(T)
     ok = bool(np.isfinite(out).all())
     print(json.dumps({
@@ -122,6 +128,8 @@ def main():
                       "structured" if args.structured else "generic"),
         "ne": mesh.ne, "order": args.order, "ndev": args.ndev,
         "ndof": int(out.size), "setup_s": round(setup_s, 1),
+        "exec_step_s": round(exec_s, 1),
+        "compile_s": round(step_s - exec_s, 1),
         "compile_plus_step_s": round(step_s, 1),
         "finite": ok, "T_rise_max": float(np.max(out) - 37.0)
         if ok else None,
