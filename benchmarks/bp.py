@@ -73,12 +73,23 @@ def main():
             fes = FESpace(mesh, order)
         for bp, kind in (("BP1", "mass"), ("BP3", "diffusion")):
             a = BilinearForm(fes).add_domain_integrator(kind)
-            op = a.assemble_ell().operator() if args.ell \
-                else a.assemble().operator()
-            A = ConstrainedOperator.wrap(
-                op,
-                fes.essential_dofs() if kind == "diffusion" else [],
-            )
+            ess = fes.essential_dofs() if kind == "diffusion" else []
+            if args.ell and order > 1:
+                # variable-width rows: bucketed multi-ELL in permuted space
+                from cardiac_ablation_ecm2_tpu.ops.ell import MultiELLOperator
+
+                import numpy as _np
+
+                mop = MultiELLOperator.from_csr(a.assemble_matrix(),
+                                                args.dtype)
+                op = mop.operator()
+                ess = mop.iperm[_np.asarray(ess, _np.int64)] \
+                    if len(ess) else ess
+            elif args.ell:
+                op = a.assemble_ell().operator()
+            else:
+                op = a.assemble().operator()
+            A = ConstrainedOperator.wrap(op, ess)
             M = jacobi(A.diagonal())
             b = jnp.ones(fes.ndof, dtype=jnp.dtype(args.dtype))
             iters = args.iters

@@ -153,3 +153,121 @@ def _apply_w(src, blk, codes, wts, *, nsrc_rows, K, J, nout,
             interpret=interpret,
         )(*planes)
     return out.reshape(-1)[:nout]
+
+
+# ----------------------------------------------------------------------
+# bucketed multi-ELL: variable row widths without global-J padding
+# ----------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MultiELLOperator:
+    """Sparse operator as nnz-bucketed ELL slabs in a PERMUTED dof space.
+
+    Higher-order simplex matrices have wildly variable row widths (o2 tets:
+    mean 28, max 115 nnz/row) — one global-J ELL pads 4× and the J·K-unrolled
+    kernel blows VMEM.  Here rows are permuted so same-width buckets are
+    contiguous; each bucket is a stack of ≤``chunk_j``-plane weighted-gather
+    calls writing its own contiguous output slice.  Work stays
+    nnz-proportional and every call is in the register-friendly J ≤ 8 regime
+    (fem/restriction.py J_MAX).
+
+    The operator acts in the PERMUTED space: callers renumber b/diag/masks
+    once at setup (``to_perm``/``from_perm``) and run the whole Krylov loop
+    there — zero per-iteration permutation cost (the column renumbering is
+    absorbed into the gather tables).
+    """
+
+    buckets: tuple            # of (tables, wts) chunk tuples per bucket
+    sizes: tuple              # rows per bucket (sum = n)
+    diag: jnp.ndarray         # (n,) permuted
+    perm: object = None       # natural -> permuted (host numpy)
+    iperm: object = None
+
+    @property
+    def shape(self):
+        n = int(sum(self.sizes))
+        return (n, n)
+
+    def to_perm(self, v):
+        return jnp.asarray(np.asarray(v)[self.perm])
+
+    def from_perm(self, v):
+        return jnp.asarray(np.asarray(v)[self.iperm])
+
+    @staticmethod
+    def from_csr(A, dtype="float32", chunk_j: int = 8,
+                 bucket_edges=(8, 16, 24, 32, 48, 64, 96, 128, 192, 256),
+                 ) -> "MultiELLOperator":
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A)
+        n = A.shape[0]
+        nnz = np.diff(A.indptr)
+        edges = [e for e in bucket_edges if e < int(nnz.max())] + \
+            [int(nnz.max())] if n else []
+        bidx = np.searchsorted(np.asarray(edges), nnz, side="left")
+        perm = np.argsort(bidx, kind="stable")     # keeps first-touch order
+        iperm = np.empty(n, dtype=np.int64)
+        iperm[perm] = np.arange(n)
+
+        buckets, sizes = [], []
+        start = 0
+        for b, edge in enumerate(edges):
+            rows = perm[bidx[perm] == b]
+            nb = len(rows)
+            if nb == 0:
+                continue
+            J = int(edge)
+            cols = np.full((J, nb), n, dtype=np.int64)   # n == "reads zero"
+            vals = np.zeros((J, nb), dtype=np.float64)
+            nnzr = nnz[rows]
+            cum0 = np.concatenate([[0], np.cumsum(nnzr[:-1])])
+            tot = int(nnzr.sum())
+            rep = np.repeat(np.arange(nb), nnzr)
+            slot = np.arange(tot) - np.repeat(cum0, nnzr)
+            pos = np.repeat(A.indptr[rows], nnzr) + slot
+            cols[slot, rep] = iperm[A.indices[pos]]
+            vals[slot, rep] = A.data[pos]
+            chunks = []
+            for j0 in range(0, J, chunk_j):
+                cj = cols[j0:j0 + chunk_j]
+                vj = vals[j0:j0 + chunk_j]
+                t = build_tables(list(cj), n)
+                B = t.codes.shape[1]
+                wpad = np.zeros((len(cj), B * 128), dtype=np.dtype(dtype))
+                wpad[:, :nb] = vj
+                chunks.append((t, jnp.asarray(
+                    wpad.reshape(len(cj), B, 128))))
+            buckets.append(tuple(chunks))
+            sizes.append(nb)
+            start += nb
+        diag = jnp.asarray(A.diagonal()[perm].astype(np.dtype(dtype)))
+        return MultiELLOperator(buckets=tuple(buckets), sizes=tuple(sizes),
+                                diag=diag, perm=perm, iperm=iperm)
+
+    def mult(self, x: jnp.ndarray) -> jnp.ndarray:
+        interpret = jax.default_backend() != "tpu"
+        outs = []
+        for chunks in self.buckets:
+            acc = None
+            for t, wts in chunks:
+                y = _apply_w(x, t.blk, t.codes, wts, nsrc_rows=t.nsrc_rows,
+                             K=t.K, J=t.J, nout=t.nout, interpret=interpret)
+                acc = y if acc is None else acc + y
+            outs.append(acc)
+        return jnp.concatenate(outs)
+
+    def diagonal(self) -> jnp.ndarray:
+        return self.diag
+
+    def operator(self) -> LinearOperator:
+        return LinearOperator(shape=self.shape, mult=self.mult,
+                              diagonal_fn=self.diagonal)
+
+
+jax.tree_util.register_pytree_node(
+    MultiELLOperator,
+    lambda t: ((t.buckets, t.diag), (t.sizes, t.perm, t.iperm)),
+    lambda aux, ch: MultiELLOperator(
+        buckets=ch[0], diag=ch[1], sizes=aux[0], perm=aux[1], iperm=aux[2]),
+)
