@@ -78,13 +78,8 @@ def main():
                 # variable-width rows: bucketed multi-ELL in permuted space
                 from cardiac_ablation_ecm2_tpu.ops.ell import MultiELLOperator
 
-                import numpy as _np
-
-                mop = MultiELLOperator.from_csr(a.assemble_matrix(),
-                                                args.dtype)
-                op = mop.operator()
-                ess = mop.iperm[_np.asarray(ess, _np.int64)] \
-                    if len(ess) else ess
+                op = MultiELLOperator.from_csr(a.assemble_matrix(),
+                                               args.dtype).operator()
             elif args.ell:
                 op = a.assemble_ell().operator()
             else:

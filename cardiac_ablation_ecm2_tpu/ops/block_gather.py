@@ -180,7 +180,9 @@ def _apply(src, blk, codes, *, nsrc_rows, K, J, nout, interpret=False,
         csz = codes.dtype.itemsize
         per_row = 2 * 128 * (K * src.dtype.itemsize + J * csz
                              + src.dtype.itemsize)
-        row_block = max(64, min(1024, (6 * 2 ** 20 // per_row) // 64 * 64))
+        # floor of 8 (f32 sublane tile), not 64: K here is ≤ K_MAX=40 so
+        # 6 MB is safe, but honour tiny-B tables
+        row_block = max(8, min(1024, (6 * 2 ** 20 // per_row) // 8 * 8))
     RB = min(row_block, B)
     nblk = (B + RB - 1) // RB
     if B % RB:

@@ -127,7 +127,9 @@ def _apply_w(src, blk, codes, wts, *, nsrc_rows, K, J, nout,
         csz = codes.dtype.itemsize
         per_row = 2 * 128 * (K * src.dtype.itemsize + J * csz
                              + J * wts.dtype.itemsize + src.dtype.itemsize)
-        row_block = max(64, min(1024, (6 * 2 ** 20 // per_row) // 64 * 64))
+        # floor of 8 (f32 sublane tile), not 64: high-K calls (heavy-row
+        # ELL buckets, K ~ 100+) blow the 16 MB scoped-VMEM stack at RB=64
+        row_block = max(8, min(1024, (2 * 2 ** 20 // per_row) // 8 * 8))
     RB = min(row_block, B)
     nblk = (B + RB - 1) // RB
     if B % RB:
@@ -161,38 +163,29 @@ def _apply_w(src, blk, codes, wts, *, nsrc_rows, K, J, nout,
 
 @dataclasses.dataclass(frozen=True)
 class MultiELLOperator:
-    """Sparse operator as nnz-bucketed ELL slabs in a PERMUTED dof space.
+    """Sparse operator as nnz-bucketed ELL slabs, NATURAL dof space.
 
     Higher-order simplex matrices have wildly variable row widths (o2 tets:
     mean 28, max 115 nnz/row) — one global-J ELL pads 4× and the J·K-unrolled
-    kernel blows VMEM.  Here rows are permuted so same-width buckets are
-    contiguous; each bucket is a stack of ≤``chunk_j``-plane weighted-gather
-    calls writing its own contiguous output slice.  Work stays
-    nnz-proportional and every call is in the register-friendly J ≤ 8 regime
-    (fem/restriction.py J_MAX).
-
-    The operator acts in the PERMUTED space: callers renumber b/diag/masks
-    once at setup (``to_perm``/``from_perm``) and run the whole Krylov loop
-    there — zero per-iteration permutation cost (the column renumbering is
-    absorbed into the gather tables).
+    kernel blows VMEM.  Here ROWS are grouped into same-width buckets (each a
+    stack of ≤``chunk_j``-plane weighted-gather calls over its own output
+    slice) while COLUMNS and the input vector stay in the NATURAL first-touch
+    numbering — renumbering columns was measured to fragment source locality
+    (per-row source-block unions K≈112 → Mosaic VMEM-stack OOM).  One final
+    block-gather unpermutes the concatenated bucket outputs back to natural
+    row order (2 extra n-sized streams per apply — noise next to the nnz
+    traffic), so callers see a plain natural-space operator.
     """
 
     buckets: tuple            # of (tables, wts) chunk tuples per bucket
     sizes: tuple              # rows per bucket (sum = n)
-    diag: jnp.ndarray         # (n,) permuted
-    perm: object = None       # natural -> permuted (host numpy)
-    iperm: object = None
+    t_un: object              # block-gather table: permuted y -> natural y
+    diag: jnp.ndarray         # (n,) natural
 
     @property
     def shape(self):
         n = int(sum(self.sizes))
         return (n, n)
-
-    def to_perm(self, v):
-        return jnp.asarray(np.asarray(v)[self.perm])
-
-    def from_perm(self, v):
-        return jnp.asarray(np.asarray(v)[self.iperm])
 
     @staticmethod
     def from_csr(A, dtype="float32", chunk_j: int = 8,
@@ -203,15 +196,14 @@ class MultiELLOperator:
         A = sp.csr_matrix(A)
         n = A.shape[0]
         nnz = np.diff(A.indptr)
-        edges = [e for e in bucket_edges if e < int(nnz.max())] + \
-            [int(nnz.max())] if n else []
+        edges = ([e for e in bucket_edges if e < int(nnz.max())]
+                 + [int(nnz.max())]) if n else []
         bidx = np.searchsorted(np.asarray(edges), nnz, side="left")
         perm = np.argsort(bidx, kind="stable")     # keeps first-touch order
-        iperm = np.empty(n, dtype=np.int64)
-        iperm[perm] = np.arange(n)
+        rank = np.empty(n, dtype=np.int64)
+        rank[perm] = np.arange(n)
 
         buckets, sizes = [], []
-        start = 0
         for b, edge in enumerate(edges):
             rows = perm[bidx[perm] == b]
             nb = len(rows)
@@ -226,7 +218,7 @@ class MultiELLOperator:
             rep = np.repeat(np.arange(nb), nnzr)
             slot = np.arange(tot) - np.repeat(cum0, nnzr)
             pos = np.repeat(A.indptr[rows], nnzr) + slot
-            cols[slot, rep] = iperm[A.indices[pos]]
+            cols[slot, rep] = A.indices[pos]             # NATURAL columns
             vals[slot, rep] = A.data[pos]
             chunks = []
             for j0 in range(0, J, chunk_j):
@@ -240,12 +232,15 @@ class MultiELLOperator:
                     wpad.reshape(len(cj), B, 128))))
             buckets.append(tuple(chunks))
             sizes.append(nb)
-            start += nb
-        diag = jnp.asarray(A.diagonal()[perm].astype(np.dtype(dtype)))
+        # natural[i] = concat(bucket outputs)[rank[i]]
+        t_un = build_tables(rank, n)
+        diag = jnp.asarray(A.diagonal().astype(np.dtype(dtype)))
         return MultiELLOperator(buckets=tuple(buckets), sizes=tuple(sizes),
-                                diag=diag, perm=perm, iperm=iperm)
+                                t_un=t_un, diag=diag)
 
     def mult(self, x: jnp.ndarray) -> jnp.ndarray:
+        from . import block_gather as bg
+
         interpret = jax.default_backend() != "tpu"
         outs = []
         for chunks in self.buckets:
@@ -255,7 +250,8 @@ class MultiELLOperator:
                              K=t.K, J=t.J, nout=t.nout, interpret=interpret)
                 acc = y if acc is None else acc + y
             outs.append(acc)
-        return jnp.concatenate(outs)
+        return bg.apply(jnp.concatenate(outs), self.t_un,
+                        interpret=interpret)
 
     def diagonal(self) -> jnp.ndarray:
         return self.diag
@@ -267,7 +263,7 @@ class MultiELLOperator:
 
 jax.tree_util.register_pytree_node(
     MultiELLOperator,
-    lambda t: ((t.buckets, t.diag), (t.sizes, t.perm, t.iperm)),
+    lambda t: ((t.buckets, t.t_un, t.diag), (t.sizes,)),
     lambda aux, ch: MultiELLOperator(
-        buckets=ch[0], diag=ch[1], sizes=aux[0], perm=aux[1], iperm=aux[2]),
+        buckets=ch[0], t_un=ch[1], diag=ch[2], sizes=aux[0]),
 )

@@ -32,14 +32,9 @@ def test_multi_ell_matches_scipy():
     A = _random_varwidth()
     op = MultiELLOperator.from_csr(A, dtype="float64")
     x = np.random.default_rng(1).standard_normal(A.shape[0])
-    y_ref = A @ x
-    xp = op.to_perm(x)
-    yp = np.asarray(op.mult(jnp.asarray(xp)))
-    y = np.asarray(op.from_perm(yp))
-    np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-12)
-    # diagonal is permuted consistently
-    dp = np.asarray(op.diag)
-    np.testing.assert_allclose(dp, A.diagonal()[op.perm], rtol=1e-12)
+    y = np.asarray(op.mult(jnp.asarray(x)))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.diag), A.diagonal(), rtol=1e-12)
 
 
 def test_multi_ell_fem_matrix():
@@ -55,5 +50,5 @@ def test_multi_ell_fem_matrix():
         "diffusion").assemble_matrix()
     op = MultiELLOperator.from_csr(A, dtype="float64")
     x = np.random.default_rng(2).standard_normal(A.shape[0])
-    y = np.asarray(op.from_perm(op.mult(jnp.asarray(op.to_perm(x)))))
+    y = np.asarray(op.mult(jnp.asarray(x)))
     np.testing.assert_allclose(y, A @ x, rtol=1e-11, atol=1e-11)
