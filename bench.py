@@ -149,6 +149,12 @@ def main():
         # structured Cartesian space: gather-free restriction (fast path)
         fes = CartesianFESpace(mesh, order, (n, n, n), (L, L, L))
 
+    if os.environ.get("BENCH_ELL", "0") == "1":
+        # cache the assembled CSR pair between bench attempts (minutes of
+        # host assembly at ~1M tets)
+        os.environ.setdefault(
+            "CAX_ELL_CACHE", f"/tmp/bench_ell_{mesh_kind}_{n}_{order}.npz")
+
     # lattice: broad metabolic-style Gaussian; cardiac: SAR source at the
     # electrode tip (mesh/cardiac.py)
     ctr = (L / 2, L / 2, L / 2)
@@ -181,6 +187,10 @@ def main():
             dtype=dtype, fused_setup=True, theta_form=True,
             qdata_bf16=os.environ.get("BENCH_BF16_QDATA", "0") == "1",
             cg_variant=os.environ.get("BENCH_CG", "classic"),
+            # BENCH_ELL=1: assembled multi-ELL apply (the simplex fast
+            # path — 11× per-apply vs PA on o2 tets, BASELINE.md)
+            assembled_apply=("ell" if os.environ.get("BENCH_ELL", "0")
+                             == "1" else "off"),
             collapse_uniform_qdata=(
                 not unstructured and not masked
                 and os.environ.get("BENCH_NO_COLLAPSE", "0") != "1"),

@@ -121,6 +121,13 @@ class BioheatOperator:
     #: explicit essential dof ids (unioned with ``ess_bdr``'s) — the
     #: masked-lattice path passes the carved-surface + inactive dofs here.
     ess_dofs: object = None
+    #: "ell": apply the implicit stage operator through an ASSEMBLED
+    #: bucketed multi-ELL pair (ops/ell.MultiELLPair) instead of the
+    #: matrix-free PA pipeline.  The win case is simplex meshes: tet
+    #: stencils are sparse (o2: ~28 nnz/row) while the PA path is
+    #: restriction-bound — measured 11× per-apply on TPU (BASELINE.md).
+    #: Costs a one-time host FULL assembly at setup.  "off" = PA always.
+    assembled_apply: str = "off"
 
     def __post_init__(self):
         fes = self.fes
@@ -306,11 +313,50 @@ class BioheatOperator:
             if self._lane is not None:
                 self._qkT = lanemajor.diffusion_qT(self.K_qd)
 
+        self._ell = None
+        if self.assembled_apply == "ell":
+            self._ell = self._build_ell_pair()
+
         if self.theta_form:
             # b_θ = b − A(T_a·1): constants are in K's kernel so this mostly
             # cancels the perfusion source; computed once (setup path)
             ones = jnp.ones(fes.ndof_scalar, self.b_const.dtype)
             self.b_const = self.b_const - self._A_apply(self.T_a * ones)
+
+    def _build_ell_pair(self):
+        """Assemble M_ρc and A = K + M_ω to CSR (host path) and pack them as
+        a shared-pattern :class:`~..ops.ell.MultiELLPair` — the implicit
+        stage operator is then one traced weight combination + weighted
+        gathers per CG iteration (see ``assembled_apply``)."""
+        import os
+
+        import scipy.sparse as sp
+
+        from ..ops.bilinearform import BilinearForm
+        from ..ops.ell import MultiELLPair
+
+        fes = self.fes
+        # CAX_ELL_CACHE=<path.npz>: cache the assembled CSR pair — host
+        # FULL assembly at ~1M tets is minutes; benches re-run often
+        cache = os.environ.get("CAX_ELL_CACHE")
+        if cache and os.path.exists(cache):
+            z = np.load(cache)
+            M = sp.csr_matrix((z["Md"], z["Mi"], z["Mp"]))
+            A = sp.csr_matrix((z["Ad"], z["Ai"], z["Ap"]))
+        else:
+            M = BilinearForm(fes).add_domain_integrator(
+                "mass", self.rho_c).assemble_matrix()
+            A = BilinearForm(fes).add_domain_integrator(
+                "diffusion", self.k).assemble_matrix()
+            if np.ndim(self.w_cb) != 0 or \
+                    float(np.asarray(self.w_cb)) != 0.0:
+                A = A + BilinearForm(fes).add_domain_integrator(
+                    "mass", self.w_cb).assemble_matrix()
+            if cache:
+                np.savez(cache, Md=M.data, Mi=M.indices, Mp=M.indptr,
+                         Ad=A.data, Ai=A.indices, Ap=A.indptr)
+        return MultiELLPair.from_csr_pair(
+            M, A, dtype=str(real_t(self.dtype)))
 
     # ------------------------------------------------------------------
     def override(self, **kw) -> "BioheatOperator":
@@ -352,6 +398,8 @@ class BioheatOperator:
         Measured on v5e at 912k dofs: 1.38 → 0.84 ms/apply AND 10× lower
         fp error vs the f64 reference (full-width HIGHEST matmuls beat the
         staged einsum chain's accumulation)."""
+        if self._ell is not None:
+            return self._ell.mult_combined(v, 1.0, gamma)
         if self._aff is not None:
             eT = self.restr.mult_t(v)
             yT = lanemajor.affine_mass_diffusion_apply(
@@ -372,6 +420,8 @@ class BioheatOperator:
 
     def _A_apply(self, v):
         """(K_k + M_ω) v."""
+        if self._ell is not None:
+            return self._ell.mult1(v)
         if self._aff is not None:
             eT = self.restr.mult_t(v)
             yT = lanemajor.affine_mass_diffusion_apply(
@@ -381,6 +431,8 @@ class BioheatOperator:
         return self._apply(self.Mw_qd, self.K_qd, v)
 
     def _Mrc_apply(self, v):
+        if self._ell is not None:
+            return self._ell.mult0(v)
         if self._aff is not None:
             eT = self.restr.mult_t(v)
             yT = lanemajor.affine_mass_apply(self._aff, self._dm, eT)
@@ -462,7 +514,10 @@ def big_arrays(op: BioheatOperator) -> dict:
     )
     if isinstance(op.restr, ElementRestriction):
         big["restr"] = op.restr
-    if getattr(op, "_aff", None) is not None:
+    if getattr(op, "_ell", None) is not None:
+        # assembled apply: the ELL tables + weight planes ARE the operator
+        big["_ell"] = op._ell
+    elif getattr(op, "_aff", None) is not None:
         # affine fast path: only the collapsed per-element factors stream
         big.update(_dm=op._dm, _dw=op._dw, _dk=op._dk)
     else:

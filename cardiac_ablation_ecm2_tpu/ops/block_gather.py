@@ -183,7 +183,10 @@ def _apply(src, blk, codes, *, nsrc_rows, K, J, nout, interpret=False,
         # floor of 8 (f32 sublane tile), not 64: K here is ≤ K_MAX=40 so
         # 6 MB is safe, but honour tiny-B tables
         row_block = max(8, min(1024, (6 * 2 ** 20 // per_row) // 8 * 8))
-    RB = min(row_block, B)
+    # RB must be a multiple of 8 (f32 sublane tile): Mosaic's gather
+    # lowering rejects unaligned (RB,128) blocks ("Shape mismatch in input,
+    # indices and output" at B < 8, e.g. tiny ELL buckets) — pad B up
+    RB = min(row_block, ((B + 7) // 8) * 8)
     nblk = (B + RB - 1) // RB
     if B % RB:
         padb = nblk * RB - B

@@ -130,7 +130,10 @@ def _apply_w(src, blk, codes, wts, *, nsrc_rows, K, J, nout,
         # floor of 8 (f32 sublane tile), not 64: high-K calls (heavy-row
         # ELL buckets, K ~ 100+) blow the 16 MB scoped-VMEM stack at RB=64
         row_block = max(8, min(1024, (2 * 2 ** 20 // per_row) // 8 * 8))
-    RB = min(row_block, B)
+    # RB must be a multiple of 8 (f32 sublane tile): Mosaic's gather
+    # lowering rejects unaligned (RB,128) blocks ("Shape mismatch in input,
+    # indices and output" at B < 8, e.g. tiny ELL buckets) — pad B up
+    RB = min(row_block, ((B + 7) // 8) * 8)
     nblk = (B + RB - 1) // RB
     if B % RB:
         padb = nblk * RB - B
@@ -160,6 +163,55 @@ def _apply_w(src, blk, codes, wts, *, nsrc_rows, K, J, nout,
 # ----------------------------------------------------------------------
 # bucketed multi-ELL: variable row widths without global-J padding
 # ----------------------------------------------------------------------
+
+def _build_buckets(indptr, indices, datas, n, dtype, chunk_j, bucket_edges):
+    """Shared bucket builder: one sparsity pattern, ``len(datas)`` aligned
+    value sets.  Returns (buckets, sizes, t_un) where each bucket is a tuple
+    of (tables, [wts_per_data]) chunks and t_un unpermutes the concatenated
+    bucket outputs to natural row order."""
+    nnz = np.diff(indptr)
+    edges = ([e for e in bucket_edges if e < int(nnz.max())]
+             + [int(nnz.max())]) if n else []
+    bidx = np.searchsorted(np.asarray(edges), nnz, side="left")
+    perm = np.argsort(bidx, kind="stable")       # keeps first-touch order
+    rank = np.empty(n, dtype=np.int64)
+    rank[perm] = np.arange(n)
+
+    buckets, sizes = [], []
+    for b, edge in enumerate(edges):
+        rows = perm[bidx[perm] == b]
+        nb = len(rows)
+        if nb == 0:
+            continue
+        J = int(edge)
+        cols = np.full((J, nb), n, dtype=np.int64)   # n == "reads zero"
+        valss = [np.zeros((J, nb), dtype=np.float64) for _ in datas]
+        nnzr = nnz[rows]
+        cum0 = np.concatenate([[0], np.cumsum(nnzr[:-1])])
+        tot = int(nnzr.sum())
+        rep = np.repeat(np.arange(nb), nnzr)
+        slot = np.arange(tot) - np.repeat(cum0, nnzr)
+        pos = np.repeat(indptr[rows], nnzr) + slot
+        cols[slot, rep] = indices[pos]               # NATURAL columns
+        for vals, data in zip(valss, datas):
+            vals[slot, rep] = data[pos]
+        chunks = []
+        for j0 in range(0, J, chunk_j):
+            cj = cols[j0:j0 + chunk_j]
+            t = build_tables(list(cj), n)
+            B = t.codes.shape[1]
+            ws = []
+            for vals in valss:
+                wpad = np.zeros((len(cj), B * 128), dtype=np.dtype(dtype))
+                wpad[:, :nb] = vals[j0:j0 + chunk_j]
+                ws.append(jnp.asarray(wpad.reshape(len(cj), B, 128)))
+            chunks.append((t, ws))
+        buckets.append(tuple(chunks))
+        sizes.append(nb)
+    # natural[i] = concat(bucket outputs)[rank[i]]
+    t_un = build_tables(rank, n)
+    return tuple(buckets), tuple(sizes), t_un
+
 
 @dataclasses.dataclass(frozen=True)
 class MultiELLOperator:
@@ -194,48 +246,13 @@ class MultiELLOperator:
         import scipy.sparse as sp
 
         A = sp.csr_matrix(A)
-        n = A.shape[0]
-        nnz = np.diff(A.indptr)
-        edges = ([e for e in bucket_edges if e < int(nnz.max())]
-                 + [int(nnz.max())]) if n else []
-        bidx = np.searchsorted(np.asarray(edges), nnz, side="left")
-        perm = np.argsort(bidx, kind="stable")     # keeps first-touch order
-        rank = np.empty(n, dtype=np.int64)
-        rank[perm] = np.arange(n)
-
-        buckets, sizes = [], []
-        for b, edge in enumerate(edges):
-            rows = perm[bidx[perm] == b]
-            nb = len(rows)
-            if nb == 0:
-                continue
-            J = int(edge)
-            cols = np.full((J, nb), n, dtype=np.int64)   # n == "reads zero"
-            vals = np.zeros((J, nb), dtype=np.float64)
-            nnzr = nnz[rows]
-            cum0 = np.concatenate([[0], np.cumsum(nnzr[:-1])])
-            tot = int(nnzr.sum())
-            rep = np.repeat(np.arange(nb), nnzr)
-            slot = np.arange(tot) - np.repeat(cum0, nnzr)
-            pos = np.repeat(A.indptr[rows], nnzr) + slot
-            cols[slot, rep] = A.indices[pos]             # NATURAL columns
-            vals[slot, rep] = A.data[pos]
-            chunks = []
-            for j0 in range(0, J, chunk_j):
-                cj = cols[j0:j0 + chunk_j]
-                vj = vals[j0:j0 + chunk_j]
-                t = build_tables(list(cj), n)
-                B = t.codes.shape[1]
-                wpad = np.zeros((len(cj), B * 128), dtype=np.dtype(dtype))
-                wpad[:, :nb] = vj
-                chunks.append((t, jnp.asarray(
-                    wpad.reshape(len(cj), B, 128))))
-            buckets.append(tuple(chunks))
-            sizes.append(nb)
-        # natural[i] = concat(bucket outputs)[rank[i]]
-        t_un = build_tables(rank, n)
+        buckets, sizes, t_un = _build_buckets(
+            A.indptr, A.indices, [A.data], A.shape[0], dtype, chunk_j,
+            bucket_edges)
+        buckets = tuple(tuple((t, ws[0]) for t, ws in ch)
+                        for ch in buckets)
         diag = jnp.asarray(A.diagonal().astype(np.dtype(dtype)))
-        return MultiELLOperator(buckets=tuple(buckets), sizes=tuple(sizes),
+        return MultiELLOperator(buckets=buckets, sizes=sizes,
                                 t_un=t_un, diag=diag)
 
     def mult(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -266,4 +283,100 @@ jax.tree_util.register_pytree_node(
     lambda t: ((t.buckets, t.t_un, t.diag), (t.sizes,)),
     lambda aux, ch: MultiELLOperator(
         buckets=ch[0], t_un=ch[1], diag=ch[2], sizes=aux[0]),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiELLPair:
+    """TWO matrices on one shared sparsity pattern, applied as
+    ``y = (c0·W0 + c1·W1) x`` with the weight combination traced per SOLVE
+    (one nnz-sized elementwise pass), not per iteration.
+
+    The bioheat implicit stage operator (M_ρc + γ(K + M_ω)) is exactly this
+    shape: M and A share the FE connectivity pattern, γ changes per solve.
+    Reference analog: ``SparseMatrix::Add`` + ``Mult`` (linalg/sparsemat.cpp)
+    without ever materializing the combined CSR.
+    """
+
+    buckets: tuple            # of (tables, (w0, w1)) chunk tuples per bucket
+    sizes: tuple
+    t_un: object
+    diag0: jnp.ndarray        # (n,) natural diagonals of each matrix
+    diag1: jnp.ndarray
+
+    @property
+    def shape(self):
+        n = int(sum(self.sizes))
+        return (n, n)
+
+    @staticmethod
+    def from_csr_pair(M0, M1, dtype="float32", chunk_j: int = 8,
+                      bucket_edges=(8, 16, 24, 32, 48, 64, 96, 128, 192,
+                                    256)) -> "MultiELLPair":
+        import scipy.sparse as sp
+
+        M0 = sp.csr_matrix(M0)
+        M1 = sp.csr_matrix(M1)
+        n = M0.shape[0]
+        # union pattern with explicit zeros so both data arrays align
+        P = (abs(M0) + abs(M1)).tocsr()
+        P.sort_indices()
+
+        def aligned(X):
+            out = np.zeros(P.nnz, dtype=np.float64)
+            X = X.tocsr()
+            X.sort_indices()
+            # vectorized alignment: for each entry of X find its slot in P
+            reps = np.diff(X.indptr)
+            rows = np.repeat(np.arange(n), reps)
+            # P rows are sorted: searchsorted within each row via offsets
+            big = np.int64(P.shape[1] + 1)
+            pkeys = np.repeat(np.arange(n), np.diff(P.indptr)) * big \
+                + P.indices
+            xkeys = rows * big + X.indices
+            slots = np.searchsorted(pkeys, xkeys)
+            out[slots] = X.data
+            return out
+
+        d0, d1 = aligned(M0), aligned(M1)
+        buckets, sizes, t_un = _build_buckets(
+            P.indptr, P.indices, [d0, d1], n, dtype, chunk_j, bucket_edges)
+        buckets = tuple(tuple((t, (ws[0], ws[1])) for t, ws in ch)
+                        for ch in buckets)
+        return MultiELLPair(
+            buckets=buckets, sizes=sizes, t_un=t_un,
+            diag0=jnp.asarray(M0.diagonal().astype(np.dtype(dtype))),
+            diag1=jnp.asarray(M1.diagonal().astype(np.dtype(dtype))),
+        )
+
+    def mult_combined(self, x: jnp.ndarray, c0, c1) -> jnp.ndarray:
+        """(c0·M0 + c1·M1) x — weights combined at trace time."""
+        from . import block_gather as bg
+
+        interpret = jax.default_backend() != "tpu"
+        outs = []
+        for chunks in self.buckets:
+            acc = None
+            for t, (w0, w1) in chunks:
+                wc = c0 * w0 + c1 * w1
+                y = _apply_w(x, t.blk, t.codes, wc, nsrc_rows=t.nsrc_rows,
+                             K=t.K, J=t.J, nout=t.nout, interpret=interpret)
+                acc = y if acc is None else acc + y
+            outs.append(acc)
+        return bg.apply(jnp.concatenate(outs), self.t_un,
+                        interpret=interpret)
+
+    def mult0(self, x):
+        return self.mult_combined(x, 1.0, 0.0)
+
+    def mult1(self, x):
+        return self.mult_combined(x, 0.0, 1.0)
+
+
+jax.tree_util.register_pytree_node(
+    MultiELLPair,
+    lambda t: ((t.buckets, t.t_un, t.diag0, t.diag1), (t.sizes,)),
+    lambda aux, ch: MultiELLPair(
+        buckets=ch[0], t_un=ch[1], diag0=ch[2], diag1=ch[3],
+        sizes=aux[0]),
 )
