@@ -111,10 +111,12 @@ def lattice_multi_index(geom: Geometry, p: int) -> np.ndarray:
         ]
         return np.array(out, dtype=np.int64)
     if geom == Geometry.PYRAMID:
-        # order 1 only: the 5 vertices (rational basis; higher order needs
-        # the Fuentes construction — round-2)
+        # pyramids have no polynomial lattice (rational basis): order ≥ 2
+        # node layouts live in fem/pyramid2.py / pyramid3.py / pyramid_p.py
         if p != 1:
-            raise NotImplementedError("pyramid: order 1 only")
+            raise NotImplementedError(
+                "pyramid node layout is not a lattice at p >= 2; "
+                "see fem/pyramid_p.py")
         return np.rint(REF_VERTS[geom]).astype(np.int64)
     raise ValueError(f"unsupported geometry {geom}")
 
@@ -122,6 +124,19 @@ def lattice_multi_index(geom: Geometry, p: int) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def h1_nodes(geom: Geometry, p: int) -> np.ndarray:
     """Reference coordinates of the local H1 nodal points, lex-ordered (nd, dim)."""
+    if geom == Geometry.PYRAMID and p >= 2:
+        # rational pyramid: nodes are entity tables, not a lattice
+        if p == 2:
+            from .pyramid2 import PYRAMID_P2_NODES
+
+            return PYRAMID_P2_NODES
+        if p == 3:
+            from .pyramid3 import PYRAMID_P3_NODES
+
+            return PYRAMID_P3_NODES
+        from .pyramid_p import pyramid_nodes
+
+        return pyramid_nodes(p)
     mi = lattice_multi_index(geom, p)
     if IS_TENSOR.get(geom, False) or geom == Geometry.SEGMENT:
         x1 = h1_nodes_1d(p)
@@ -277,6 +292,10 @@ def make_dof_to_quad(
             from .pyramid3 import pyramid_p3_basis_matrices
 
             B, G = pyramid_p3_basis_matrices(pts)
+        elif p >= 4:
+            from .pyramid_p import pyramid_p_basis_matrices
+
+            B, G = pyramid_p_basis_matrices(p, pts)
         else:
             B, G = pyramid_basis_matrices(p, pts)
         return DofToQuad(

@@ -90,6 +90,8 @@ def _elem_node_keys(geom: Geometry, p: int, elem_verts: np.ndarray,
         return _pyramid_p2_keys(elem_verts)
     if geom == Geometry.PYRAMID and p == 3:
         return _pyramid_p3_keys(elem_verts, elem_ids)
+    if geom == Geometry.PYRAMID and p >= 4:
+        return _pyramid_p_keys(elem_verts, elem_ids, p)
     dim = DIMENSION[geom]
     nd = len(lattice_multi_index(geom, p))
     ne = elem_verts.shape[0]
@@ -260,6 +262,77 @@ def _pyramid_p3_keys(elem_verts: np.ndarray,
             keys[:, n, 4] = _meta_arr(_FACE, a, b)
     keys[:, 29, 0] = elem_ids
     keys[:, 29, 4] = _meta(_CELL, 1, 1, 1)
+    return keys
+
+
+def _pyramid_p_keys(elem_verts: np.ndarray, elem_ids: np.ndarray,
+                    p: int) -> np.ndarray:
+    """Entity keys for the order-p rational pyramid (fem/pyramid_p.py node
+    order) — identical canonical edge/face code conventions to the generic
+    lattice path, so mixed meshes share oriented dofs across hex/tet/
+    pyramid blocks at any order."""
+    from .pyramid_p import pyramid_num_dofs
+
+    ne = elem_verts.shape[0]
+    nd = pyramid_num_dofs(p)
+    keys = np.empty((ne, nd, _KEYLEN), dtype=np.int64)
+    keys[..., :4] = -1
+    for lv in range(5):
+        keys[:, lv, 0] = elem_verts[:, lv]
+        keys[:, lv, 4] = _meta(_VERT)
+    n = 5
+    for (la, lb) in EDGES[Geometry.PYRAMID]:
+        ga, gb = elem_verts[:, la], elem_verts[:, lb]
+        lo, hi = np.minimum(ga, gb), np.maximum(ga, gb)
+        flip = ga > gb
+        for t in range(1, p):                  # node at GLL t counted from la
+            keys[:, n, 0] = lo
+            keys[:, n, 1] = hi
+            keys[:, n, 4] = _meta_arr(_EDGE, np.where(flip, p - t, t))
+            n += 1
+    ar = np.arange(ne)
+    for f in FACES[Geometry.PYRAMID][1:]:      # tri faces: barycentric codes
+        gf = elem_verts[:, list(f)]
+        gsort = np.sort(gf, axis=1)
+        r = np.argmin(gf, axis=1)
+        d = np.where(gf[ar, (r + 1) % 3] < gf[ar, (r - 1) % 3], 1, -1)
+        for b0 in range(1, p):
+            for b1 in range(1, p - b0):
+                b2 = p - b0 - b1
+                if b2 < 1:
+                    continue
+                bar = np.stack([np.full(ne, b0), np.full(ne, b1),
+                                np.full(ne, b2)], axis=1)
+                a = bar[ar, (r + d) % 3]
+                bb = bar[ar, (r - d) % 3]
+                keys[:, n, 0:3] = gsort
+                keys[:, n, 4] = _meta_arr(_FACE, a, bb)
+                n += 1
+    fverts = FACES[Geometry.PYRAMID][0]        # quad base: (u, v) codes
+    gf = elem_verts[:, list(fverts)]
+    gsort = np.sort(gf, axis=1)
+    r = np.argmin(gf, axis=1)
+    d = np.where(gf[ar, (r + 1) % 4] < gf[ar, (r - 1) % 4], 1, -1)
+    corner_uv = np.array([[0, 0], [p, 0], [p, p], [0, p]])
+    cr = corner_uv[r]
+    eu = (corner_uv[(r + d) % 4] - cr) // p
+    ev = (corner_uv[(r - d) % 4] - cr) // p
+    for u in range(1, p):
+        for v in range(1, p):
+            rel = np.array([u, v]) - cr
+            a = (rel * eu).sum(axis=1)
+            b = (rel * ev).sum(axis=1)
+            keys[:, n, 0:4] = gsort
+            keys[:, n, 4] = _meta_arr(_FACE, a, b)
+            n += 1
+    for ell in range(1, p - 1):                # interior: level/grid indices
+        m = p - 1 - ell
+        for j in range(m):
+            for i in range(m):
+                keys[:, n, 0] = elem_ids
+                keys[:, n, 4] = _meta(_CELL, ell, i, j)
+                n += 1
+    assert n == nd
     return keys
 
 
@@ -454,16 +527,20 @@ def _element_node_coords_impl(mesh: Mesh, p: int) -> np.ndarray:
         B = _eval_volume_basis(geom, q, ref)          # (nd_p, nd_q)
         return _batched_eval(B, mesh.nodes)
     geom = mesh.geom
-    if geom == Geometry.PYRAMID and p in (2, 3):
+    if geom == Geometry.PYRAMID and p >= 2:
         from .basis import pyramid_basis_matrices
         from .pyramid2 import PYRAMID_P2_NODES, _nudge_apex
 
         if p == 2:
             nds = PYRAMID_P2_NODES
-        else:
+        elif p == 3:
             from .pyramid3 import PYRAMID_P3_NODES
 
             nds = PYRAMID_P3_NODES
+        else:
+            from .pyramid_p import pyramid_nodes
+
+            nds = pyramid_nodes(p)
         B = pyramid_basis_matrices(1, _nudge_apex(nds))[0]
         V = mesh.vertices[mesh.elements]
         return _batched_eval(B, V)

@@ -49,6 +49,8 @@ def load_mesh(args, default="inline-quad-8"):
         make_cartesian_2d,
         make_cartesian_2d_tri,
         make_cartesian_3d,
+        make_cartesian_3d_prism,
+        make_cartesian_3d_pyramid,
         make_cartesian_3d_tet,
     )
 
@@ -64,6 +66,8 @@ def load_mesh(args, default="inline-quad-8"):
             "tri": lambda: make_cartesian_2d_tri(n, n),
             "hex": lambda: make_cartesian_3d(n, n, n),
             "tet": lambda: make_cartesian_3d_tet(n, n, n),
+            "pyramid": lambda: make_cartesian_3d_pyramid(n, n, n),
+            "wedge": lambda: make_cartesian_3d_prism(n, n, n),
         }[kind]()
     else:
         raise SystemExit(f"mesh not found: {spec}")
