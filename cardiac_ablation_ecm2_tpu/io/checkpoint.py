@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import re
 from typing import Dict, Optional
 
 import jax.numpy as jnp
@@ -117,34 +118,6 @@ def load_gridfunction(path: str):
 # ----------------------------------------------------------------------------
 
 
-def _vertex_dof_values(fes, u):
-    """H1 field → per-vertex values in MESH VERTEX order (MFEM's H1 order-1
-    dof numbering IS the vertex numbering, which makes the written
-    GridFunction exactly loadable by the reference's readers)."""
-    from ..ops.vecfe import _vertex_dof_map
-
-    mesh = fes.mesh
-    u = np.asarray(u)
-    if getattr(fes, "order", 1) == 1:
-        vmap = _vertex_dof_map(fes)
-        return u[..., vmap] if u.ndim > 1 else u[vmap]
-    # higher order: restrict to vertices (visualization-grade, lossy).
-    # Per-VERTEX lattice positions: vertex v of the reference element sits
-    # at lattice multi-index REF_VERTS[v]·p (io/vtu.vertex_values pattern).
-    from ..fem.basis import lattice_multi_index
-    from ..fem.geometry import NUM_VERTS, REF_VERTS
-
-    mi = lattice_multi_index(mesh.geom, fes.order)
-    lookup = {tuple(r): i for i, r in enumerate(mi)}
-    latt_v = np.rint(REF_VERTS[mesh.geom] * fes.order).astype(np.int64)
-    gm = fes.gather_map
-    out = np.zeros(u.shape[:-1] + (mesh.nv,), dtype=u.dtype)
-    for lv in range(NUM_VERTS[mesh.geom]):
-        n = lookup[tuple(latt_v[lv])]
-        out[..., mesh.elements[:, lv]] = u[..., gm[:, n]]
-    return out
-
-
 def save_visit(path: str, name: str, mesh, fields: Dict[str, tuple],
                cycle: int = 0, time: float = 0.0, dt: float = 0.0) -> str:
     """Write a VisIt DataCollection: ``<name>_NNNNNN.mfem_root`` (JSON) +
@@ -153,8 +126,11 @@ def save_visit(path: str, name: str, mesh, fields: Dict[str, tuple],
     reference's ``VisItDataCollection::Load`` / ``convert-dc`` tools
     (fem/datacollection.hpp:426, writer datacollection.cpp:480-660).
 
-    ``fields``: name → (fes, array).  H1 order-1 fields are written
-    exactly; higher orders are vertex-restricted (viz-grade)."""
+    ``fields``: name → (fes, array).  Fields are written EXACTLY at the
+    space's order through the ``.gf`` global-dof-ordering reconstruction
+    (io/gf_io.py, the GridFunction::Save analog of fem/gridfunc.cpp:4142);
+    VisIt renders high-order fields through the ``lod`` tag."""
+    from .gf_io import write_gridfunction
     from .mesh_io import write_mfem_mesh
 
     pad = f"{cycle:06d}"
@@ -164,19 +140,13 @@ def save_visit(path: str, name: str, mesh, fields: Dict[str, tuple],
 
     fjson = {}
     for fname, (fes, arr) in fields.items():
-        vals = _vertex_dof_values(fes, arr)
-        vdim = 1 if vals.ndim == 1 else vals.shape[0]
+        vdim = getattr(fes, "vdim", 1)
         with open(os.path.join(ddir, f"{fname}.000000"), "w") as f:
-            f.write("FiniteElementSpace\n")
-            f.write(f"FiniteElementCollection: H1_{mesh.dim}D_P1\n")
-            f.write(f"VDim: {vdim}\nOrdering: 0\n\n")
-            # byNODES (Ordering: 0) = all X values, then all Y, then Z
-            flat = vals.reshape(-1)
-            for v in flat:
-                f.write(f"{float(v)!r}\n")
+            write_gridfunction(f, fes, np.asarray(arr))
         fjson[fname] = {
             "path": f"{name}_{pad}/{fname}.%06d",
-            "tags": {"assoc": "nodes", "comps": str(vdim), "lod": "1"},
+            "tags": {"assoc": "nodes", "comps": str(vdim),
+                     "lod": str(max(getattr(fes, "order", 1), 1))},
         }
 
     root = {
@@ -195,9 +165,14 @@ def save_visit(path: str, name: str, mesh, fields: Dict[str, tuple],
     return root_path
 
 
-def load_visit(root_path: str):
+def load_visit(root_path: str, spaces: Optional[Dict[str, object]] = None):
     """Load a VisIt DataCollection root written by ``save_visit`` (or the
-    reference): returns (mesh, {field: values (vertex order)}, meta)."""
+    reference's VisItDataCollection): returns (mesh, fields, meta).
+
+    With ``spaces`` (field name → FESpace built on the same mesh), each
+    field is decoded through ``gf_io.read_gridfunction`` into OUR dof
+    ordering — exact at any order.  Without, raw MFEM-global-ordered dof
+    values are returned (order recorded in ``meta['orders'][name]``)."""
     from .mesh_io import read_mfem_mesh
 
     with open(root_path) as f:
@@ -209,9 +184,18 @@ def load_visit(root_path: str):
 
     mesh = read_mfem_mesh(open(_p(main["mesh"]["path"])).read())
     fields = {}
+    orders = {}
     for fname, spec in main.get("fields", {}).items():
+        if spaces is not None and fname in spaces:
+            from .gf_io import read_gridfunction
+
+            fields[fname] = read_gridfunction(_p(spec["path"]), spaces[fname])
+            orders[fname] = getattr(spaces[fname], "order", 1)
+            continue
         with open(_p(spec["path"])) as f:
             lines = f.read().split("\n")
+        m = re.search(r"H1_\dD_P(\d+)", lines[1])
+        orders[fname] = int(m.group(1)) if m else 1
         i = lines.index("") + 1
         vals = np.array([float(x) for x in lines[i:] if x.strip()])
         comps = int(spec["tags"].get("comps", "1"))
@@ -219,5 +203,5 @@ def load_visit(root_path: str):
             vals = vals.reshape(comps, -1)     # byNODES (Ordering: 0)
         fields[fname] = vals
     meta = {"cycle": main["cycle"], "time": main["time"],
-            "time_step": main.get("time_step", 0.0)}
+            "time_step": main.get("time_step", 0.0), "orders": orders}
     return mesh, fields, meta
