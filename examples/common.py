@@ -17,7 +17,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def standard_parser(desc: str) -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=desc)
-    ap.add_argument("-m", "--mesh", default=None, help=".mesh file or inline spec")
+    ap.add_argument(
+        "-m", "--mesh", default=None,
+        help=".mesh file or inline spec (inline-{quad,tri,hex,tet,pyramid,"
+             "wedge}-N; NOTE: inline-wedge lists only the four quad side "
+             "walls as boundary — the z=0/z=1 triangular faces are "
+             "natural/Neumann until mixed-shape boundary arrays land)")
     ap.add_argument("-o", "--order", type=int, default=2)
     ap.add_argument("-r", "--refine", type=int, default=0,
                     help="uniform refinement levels")

@@ -121,6 +121,35 @@ def test_fespace_p4_projection_and_operator():
     assert np.isclose(float(a @ A.mult(b)), float(b @ A.mult(a)), rtol=1e-5)
 
 
+@pytest.mark.parametrize("seed", [3, 7])
+def test_vertex_permutation_projection_exactness_p5(seed):
+    """Randomly relabel the global vertex numbering (geometry unchanged) so
+    edge-flip / face-orientation canonicalization in _pyramid_p_keys is hit
+    on every branch, then check degree-5 projection exactness — conformity
+    + orientation maps must agree across all permuted element interfaces."""
+    from cardiac_ablation_ecm2_tpu.mesh.mesh import Mesh
+
+    base = make_cartesian_3d_pyramid(2, 2, 2)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(base.nv)           # old index -> new index
+    verts = np.empty_like(base.vertices)
+    verts[perm] = base.vertices
+    mesh = Mesh(base.geom, verts, perm[base.elements], base.attributes,
+                perm[base.boundary], base.bdr_attributes)
+
+    fes = FESpace(mesh, 5)
+
+    def f(x):
+        x = np.asarray(x)
+        return (x[..., 0] ** 5 - 2 * x[..., 1] ** 2 * x[..., 2] ** 3
+                + x[..., 0] * x[..., 1] * x[..., 2])
+
+    u = project(fes, f)
+    uq = eval_values(basis_for(fes), restriction_for(fes).mult(u))
+    gf = geom_factors_for(fes)
+    assert np.abs(np.asarray(uq) - f(np.asarray(gf.x))).max() < 2e-5
+
+
 def test_poisson_galerkin_exactness_p4():
     """-Δu = f with u_ex = x²y² + z⁴ ∈ span: the Galerkin solution IS the
     interpolant, so CG recovers it to solver tolerance."""
