@@ -251,6 +251,76 @@ def vector_boundary_flux_lf(
     return jnp.concatenate(comps)
 
 
+def boundary_tangential_lf(
+    fes, vec, bdr_marker=None, nq1d: Optional[int] = None, dtype=None
+) -> jnp.ndarray:
+    """∮ (g·τ) v along the boundary of a 2D mesh, τ the (non-normalized)
+    boundary-parametrization tangent — the Jacobian column carries the arc
+    measure, so the quadrature weight is ``w`` alone
+    (BoundaryTangentialLFIntegrator, lininteg.hpp:248, impl lininteg.cpp:242)."""
+    mesh = fes.mesh
+    rt = real_t(dtype)
+    if mesh.dim != 2:
+        raise ValueError("BoundaryTangentialLF makes sense only in 2D")
+    if mesh.nbe == 0:
+        return jnp.zeros(fes.ndof, dtype=rt)
+    gf, db = _bdr_geom(fes, nq1d, str(rt))
+    tang = gf.jac[..., 0]                                # (nbe, nq, 2)
+    if callable(vec):
+        fq = jnp.asarray(vec(gf.x), rt)                  # (nbe, nq, 2)
+    else:
+        fq = jnp.broadcast_to(jnp.asarray(vec, rt), tang.shape)
+    q = (fq * tang).sum(-1) * jnp.asarray(gf.w, rt)[None, :]
+    if bdr_marker is not None:
+        sel = np.isin(mesh.bdr_attributes, np.asarray(list(bdr_marker)))
+        q = q * jnp.asarray(sel.astype(float), rt)[:, None]
+    b_e = eval_values_t(db, q)
+    return bdr_restriction_for(fes).mult_transpose(b_e)
+
+
+def vector_quadrature_lf(fes, fq, nq1d: Optional[int] = None,
+                         dtype=None) -> jnp.ndarray:
+    """(f, v) with f given as an (ne, nq, vdim) Q-vector → byNODES flat
+    vector (VectorQuadratureLFIntegrator, lininteg.hpp:761).  The scalar
+    version is ``domain_lf_from_qvec`` (QuadratureLFIntegrator, :793)."""
+    gf = geom_factors_for(fes, nq1d, dtype)
+    db = basis_for(fes, nq1d, dtype)
+    fq = jnp.asarray(fq, real_t(dtype))
+    b_e = eval_values_t(db, gf.wdet[..., None] * fq)     # (ne, nd, vdim)
+    b = restriction_for(fes).mult_transpose(b_e)         # (ndof, vdim)
+    return b.T.reshape(-1)
+
+
+def white_noise_lf(fes, key, num: Optional[int] = None,
+                   nq1d: Optional[int] = None, dtype=None) -> jnp.ndarray:
+    """Gaussian random RHS b ~ N(0, M): b = Rᵀ diag(L_e) w with
+    L_e L_eᵀ = M_e the element mass Cholesky and w ~ N(0, I) — so
+    E[b bᵀ] = Rᵀ diag(M_e) R = M exactly
+    (WhiteGaussianNoiseDomainLFIntegrator, lininteg.hpp:664, impl
+    lininteg.cpp:1059; the spde-miniapp sampling RHS).
+
+    TPU-native: one batched (ne, nd, nd) Cholesky + one batched matvec —
+    the per-element factor loop disappears into ``jnp.linalg.cholesky``.
+    ``key`` is a ``jax.random`` key (or an int seed).  ``num=None`` draws
+    one sample (ndof,); ``num=k`` draws k i.i.d. samples → (k, ndof)."""
+    import jax
+
+    gf = geom_factors_for(fes, nq1d, dtype)
+    rt = real_t(dtype)
+    B = jnp.asarray(fes.dof_to_quad(nq1d).full_B())      # (nq, nd)
+    # element mass matrices M_e = Bᵀ diag(wdet_e) B, batched over elements
+    Me = jnp.einsum("qi,eq,qj->eij", B, gf.wdet, B)
+    # f64 Cholesky: at f32 the near-singular high-order mass blocks lose PD
+    L = jnp.linalg.cholesky(Me.astype(jnp.float64))
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    ne, nd = Me.shape[0], Me.shape[1]
+    w = jax.random.normal(key, (ne, nd, num or 1), dtype=jnp.float64)
+    b_e = jnp.einsum("eij,ejs->eis", L, w).astype(rt)    # (ne, nd, num)
+    b = restriction_for(fes).mult_transpose(b_e)         # (ndof, num)
+    return b[:, 0] if num is None else b.T
+
+
 def delta_lf(fes, points, strengths=None, dtype=None) -> jnp.ndarray:
     """Point (Dirac delta) sources: b_i = Σ_k s_k φ_i(x_k)
     (DeltaCoefficient / VectorDeltaCoefficient RHS, fem/coefficient.hpp:483,

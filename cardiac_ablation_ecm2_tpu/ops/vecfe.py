@@ -443,3 +443,114 @@ def _vertex_dof_map(h1_fes) -> np.ndarray:
     out[mesh.elements[:, vtx_of_dof].reshape(-1)] = \
         h1_fes.gather_map.reshape(-1)
     return out
+
+
+# ----------------------------------------------------------------------------
+# boundary linear forms
+# ----------------------------------------------------------------------------
+
+
+def _face_chart(geom, pts: np.ndarray):
+    """P1/Q1 face chart shape values N (nq, nv) and gradients G (nq, nv, 2)
+    in REF_VERTS vertex order."""
+    from ..fem.geometry import Geometry
+
+    u, v = pts[:, 0], pts[:, 1]
+    if geom == Geometry.TRIANGLE:
+        N = np.stack([1 - u - v, u, v], axis=1)
+        G = np.broadcast_to(
+            np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]]),
+            (len(pts), 3, 2)).copy()
+        return N, G
+    if geom == Geometry.SQUARE:
+        N = np.stack([(1 - u) * (1 - v), u * (1 - v), u * v, (1 - u) * v],
+                     axis=1)
+        Gu = np.stack([-(1 - v), (1 - v), v, -v], axis=1)
+        Gv = np.stack([-(1 - u), -u, u, (1 - u)], axis=1)
+        return N, np.stack([Gu, Gv], axis=2)
+    raise ValueError(geom)
+
+
+def _chart_outward_signs(mesh, bdr: np.ndarray, x: np.ndarray,
+                         J: np.ndarray) -> np.ndarray:
+    """+1 where the face chart's normal cross(J₀,J₁) points OUT of the
+    volume, −1 where it points in (per-face; centroid test)."""
+    nc = np.cross(J[:, :, :, 0], J[:, :, :, 1]).mean(axis=1)   # (nbf, 3)
+    vmap = {}
+    for e in range(mesh.ne):
+        for vtx in mesh.elements[e]:
+            vmap.setdefault(int(vtx), []).append(e)
+    cent = mesh.vertices[mesh.elements].mean(axis=1)
+    s = np.ones(len(bdr))
+    for f in range(len(bdr)):
+        fset = set(int(vv) for vv in bdr[f])
+        e = next(c for c in vmap[int(bdr[f, 0])]
+                 if fset.issubset(set(int(vv) for vv in mesh.elements[c])))
+        if np.dot(nc[f], x[f].mean(axis=0) - cent[e]) < 0:
+            s[f] = -1.0
+    return s
+
+
+def nd_boundary_tangent_lf(space: NDSpace, vec_fn, bdr_marker=None,
+                           nq1d: int = 3, dtype=None) -> jnp.ndarray:
+    """∮ (n × f)·v over marked boundary faces of a 3D mesh for the ND0 test
+    space (VectorFEBoundaryTangentLFIntegrator, fem/lininteg.hpp:511, impl
+    lininteg.cpp:708) — the port-excitation RHS of ex35-class problems.
+
+    H(curl) conformity makes the tangential trace of the volume ND0 basis on
+    a boundary face equal the face's own 2D ND0 basis in the face chart, so
+    assembly runs entirely on the face mesh: per quad point pull f back
+    covariantly (f̂ = J_faceᵀ f, which carries the area measure), rotate 90°
+    in the chart ((a, b) → (−b, a) ≡ n×f for an outward chart), contract
+    with the reference edge basis, and scatter to global edge dofs with
+    min→max orientation signs.  Identity check (tests/test_vecfe_lf.py):
+    for constant c, b = −(∇×φ, c) exactly."""
+    from ..fem.geometry import EDGES as _EDGES
+    from ..fem.intrules import simplex_rule, tensor_rule
+    from ..mesh.mesh import unique_edges
+
+    mesh = space.mesh
+    rt = real_t(dtype)
+    if mesh.dim != 3:
+        raise NotImplementedError("nd_boundary_tangent_lf: 3D meshes only")
+    if getattr(space, "order", 1) != 1 or isinstance(space, RTSpace):
+        raise NotImplementedError("nd_boundary_tangent_lf: ND0 spaces only")
+    if mesh.nbe == 0:
+        return jnp.zeros(space.ndof, dtype=rt)
+    bdr = mesh.boundary
+    if bdr_marker is not None:
+        sel = np.isin(mesh.bdr_attributes, np.asarray(list(bdr_marker)))
+        bdr = bdr[sel]
+        if len(bdr) == 0:
+            return jnp.zeros(space.ndof, dtype=rt)
+    fgeom = mesh.bdr_geom
+    from ..fem.geometry import Geometry
+
+    pts, B2, _ = nd0_basis(fgeom, nq1d)                 # face reference basis
+    if fgeom == Geometry.TRIANGLE:
+        _, w = simplex_rule(2, 2 * nq1d - 1)            # matches nd0_basis
+    else:
+        _, w = tensor_rule(2, nq1d)
+    N, G = _face_chart(fgeom, pts)
+    X = mesh.vertices[bdr]                              # (nbf, nv, 3)
+    J = np.einsum("qvd,fvs->fqsd", G, X)                # (nbf, nq, 3, 2)
+    x = np.einsum("qv,fvs->fqs", N, X)                  # (nbf, nq, 3)
+    f = np.broadcast_to(np.asarray(vec_fn(x) if callable(vec_fn) else vec_fn,
+                                   np.float64), x.shape)
+    fh = np.einsum("fqsd,fqs->fqd", J, f)               # Jᵀ f
+    rot = np.stack([-fh[..., 1], fh[..., 0]], axis=-1)  # chart rep of n×f
+    s = _chart_outward_signs(mesh, bdr, x, J)
+    elv = np.einsum("qkd,fqd,q->fk", B2, rot, w) * s[:, None]
+    # face-local edges → global edge dofs + min→max orientation signs
+    edges, _ = unique_edges(mesh)
+    base = np.int64(mesh.nv + 1)
+    ekey = edges[:, 0].astype(np.int64) * base + edges[:, 1]
+    order = np.argsort(ekey)
+    loc = np.array(_EDGES[fgeom])
+    fa, fb = bdr[:, loc[:, 0]], bdr[:, loc[:, 1]]       # (nbf, nk) global ids
+    key = np.minimum(fa, fb).astype(np.int64) * base + np.maximum(fa, fb)
+    gid = order[np.searchsorted(ekey[order], key)]
+    sgn = np.where(fa < fb, 1.0, -1.0)
+    b = np.zeros(space.ndof)
+    np.add.at(b, gid.reshape(-1), (elv * sgn).reshape(-1))
+    return jnp.asarray(b, rt)

@@ -80,3 +80,100 @@ def test_delta_lf_pairing():
     vals = evaluate_at_points(fes, np.asarray(u), pts)
     expect = 2.5 * vals[0] - 1.0 * vals[1]          # outside point ignored
     assert abs(float(b @ u) - expect) < 1e-12
+
+
+def test_boundary_tangential_circulation_2d():
+    """∮ (g·τ) v ds with v ≡ 1 (H1 PoU) = circulation of g = ∫∫ curl g dA
+    by Green's theorem — checks orientation (CCW boundary storage) AND
+    magnitude.  g = (−y, x): curl g = 2 ⇒ b·1 = 2·Area."""
+    from cardiac_ablation_ecm2_tpu.ops.linearform import boundary_tangential_lf
+
+    mesh = make_cartesian_2d(4, 4, 2.0, 1.5)
+    fes = FESpace(mesh, 2)
+
+    def g(x):
+        return np.stack([-x[..., 1], x[..., 0]], axis=-1)
+
+    b = boundary_tangential_lf(fes, g)
+    assert np.isclose(float(jnp.sum(b)), 2.0 * 2.0 * 1.5, rtol=1e-10)
+
+
+def test_boundary_tangential_exact_line_integral():
+    """b·u for projected smooth v vs an independent numpy line-integral of
+    ∮ (g·τ) v ds along the four sides of [0,1]² (CCW)."""
+    from numpy.polynomial.legendre import leggauss
+
+    from cardiac_ablation_ecm2_tpu.ops.linearform import boundary_tangential_lf
+
+    mesh = make_cartesian_2d(6, 6)
+    fes = FESpace(mesh, 3)
+
+    def g(x):
+        return np.stack([x[..., 1] ** 2, x[..., 0] * x[..., 1]], axis=-1)
+
+    def v(x):
+        return 1.0 + x[..., 0] ** 2 - 0.5 * x[..., 1]
+
+    b = boundary_tangential_lf(fes, g)
+    u = project(fes, v)
+    got = float(b @ u)
+
+    xg, wg = leggauss(12)
+    s = 0.5 * (xg + 1.0)
+    ws = 0.5 * wg
+    # CCW sides: bottom (t=+x̂), right (+ŷ), top (−x̂), left (−ŷ)
+    sides = [
+        (np.stack([s, 0 * s], 1), np.array([1.0, 0.0])),
+        (np.stack([0 * s + 1, s], 1), np.array([0.0, 1.0])),
+        (np.stack([1 - s, 0 * s + 1], 1), np.array([-1.0, 0.0])),
+        (np.stack([0 * s, 1 - s], 1), np.array([0.0, -1.0])),
+    ]
+    want = sum(float(np.sum(ws * (g(x) @ t) * v(x))) for x, t in sides)
+    assert np.isclose(got, want, rtol=1e-9)
+
+
+def test_vector_quadrature_lf_matches_per_component():
+    from cardiac_ablation_ecm2_tpu.fem.build import geom_factors_for
+    from cardiac_ablation_ecm2_tpu.ops.linearform import (
+        domain_lf_from_qvec,
+        vector_quadrature_lf,
+    )
+
+    mesh = make_cartesian_2d(3, 3)
+    fes = FESpace(mesh, 2)
+    gf = geom_factors_for(fes)
+    rng = np.random.default_rng(0)
+    fq = jnp.asarray(rng.standard_normal(gf.det.shape + (2,)))
+    b = vector_quadrature_lf(fes, fq)
+    nds = fes.ndof_scalar
+    for c in range(2):
+        bc = domain_lf_from_qvec(fes, fq[..., c])
+        np.testing.assert_allclose(np.asarray(b[c * nds:(c + 1) * nds]),
+                                   np.asarray(bc), rtol=1e-12, atol=1e-14)
+
+
+def test_white_noise_covariance_is_mass_matrix():
+    """E[b bᵀ] = M exactly (lininteg.hpp:664 docblock: H Hᵀ = Pᵀ diag(M_e) P
+    = M); checked by Monte-Carlo sample covariance against the assembled
+    mass matrix, plus determinism in the key."""
+    from cardiac_ablation_ecm2_tpu.ops.linearform import white_noise_lf
+
+    mesh = make_cartesian_2d(2, 2)
+    fes = FESpace(mesh, 1)
+    M = BilinearForm(fes).add_domain_integrator("mass").assemble()
+    Md = np.column_stack([
+        np.asarray(M.mult(jnp.eye(fes.ndof_scalar)[:, j]))
+        for j in range(fes.ndof_scalar)
+    ])
+
+    nsam = 40000
+    b = np.asarray(white_noise_lf(fes, 0, num=nsam), dtype=np.float64)
+    cov = b.T @ b / nsam
+    scale = np.abs(Md).max()
+    assert np.abs(cov - Md).max() < 0.03 * scale
+
+    b1 = np.asarray(white_noise_lf(fes, 7))
+    b2 = np.asarray(white_noise_lf(fes, 7))
+    b3 = np.asarray(white_noise_lf(fes, 8))
+    np.testing.assert_array_equal(b1, b2)
+    assert np.abs(b1 - b3).max() > 0

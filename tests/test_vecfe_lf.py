@@ -77,3 +77,62 @@ def test_missing_term_raises():
         assert "curlcurl" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_nd_boundary_tangent_constant_duality():
+    """∮ (n×c)·v dS = −∫ c·(∇×v) dV for constant c (Stokes):
+    b == −vecfe_linear_form_curl(op, c) exactly, on hexes AND tets —
+    validates chart rotation, outward signs, and edge orientation signs."""
+    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_3d_tet
+    from cardiac_ablation_ecm2_tpu.ops.vecfe import nd_boundary_tangent_lf
+
+    c = np.array([0.3, -1.1, 0.7])
+    for mesh in [make_cartesian_3d(3, 3, 3), make_cartesian_3d_tet(2, 2, 2)]:
+        sp = NDSpace(mesh)
+        op = build_nd_operator(sp, mass_coeff=1.0, curlcurl_coeff=1.0)
+        b = nd_boundary_tangent_lf(sp, c)
+        want = -np.asarray(vecfe_linear_form_curl(op, lambda x: 0 * x + c))
+        np.testing.assert_allclose(np.asarray(b), want, rtol=0, atol=1e-12)
+
+
+def test_nd_boundary_tangent_smooth_field_identity():
+    """∇·(f×v) identity: ∮ (n×f)·v dS = (∇×f, v) − (f, ∇×v) for
+    polynomial f (exact quadrature).  f = (y², 0, 0), ∇×f = (0, 0, −2y)."""
+    from cardiac_ablation_ecm2_tpu.mesh import make_cartesian_3d_tet
+    from cardiac_ablation_ecm2_tpu.ops.vecfe import nd_boundary_tangent_lf
+
+    def f(x):
+        return np.stack([x[..., 1] ** 2, 0 * x[..., 0], 0 * x[..., 0]],
+                        axis=-1)
+
+    def curl_f(x):
+        return np.stack([0 * x[..., 0], 0 * x[..., 0], -2 * x[..., 1]],
+                        axis=-1)
+
+    for mesh in [make_cartesian_3d(2, 3, 2), make_cartesian_3d_tet(2, 2, 2)]:
+        sp = NDSpace(mesh)
+        op = build_nd_operator(sp, mass_coeff=1.0, curlcurl_coeff=1.0)
+        b = nd_boundary_tangent_lf(sp, f)
+        want = (np.asarray(vecfe_linear_form(op, curl_f))
+                - np.asarray(vecfe_linear_form_curl(op, f)))
+        np.testing.assert_allclose(np.asarray(b), want, rtol=0, atol=1e-12)
+
+
+def test_nd_boundary_tangent_marker_subset():
+    """Marked-attribute assembly touches only dofs of the marked faces and
+    the all-markers sum equals the unmarked call."""
+    from cardiac_ablation_ecm2_tpu.ops.vecfe import nd_boundary_tangent_lf
+
+    mesh = make_cartesian_3d(2, 2, 2)
+    sp = NDSpace(mesh)
+
+    def f(x):
+        return np.stack([x[..., 2], x[..., 0], x[..., 1]], axis=-1)
+
+    ball = np.asarray(nd_boundary_tangent_lf(sp, f))
+    parts = sum(
+        np.asarray(nd_boundary_tangent_lf(sp, f, bdr_marker=[a]))
+        for a in np.unique(mesh.bdr_attributes)
+    )
+    np.testing.assert_allclose(parts, ball, rtol=0, atol=1e-13)
+    assert np.abs(ball).max() > 0
