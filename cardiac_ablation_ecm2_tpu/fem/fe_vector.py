@@ -75,6 +75,43 @@ def nd0_basis(geom: Geometry, nq1d: int) -> Tuple[np.ndarray, np.ndarray, np.nda
             else:
                 C[:, k] = 2.0 * np.cross(grad[a], grad[b])
         return pts, B, C
+    if geom == Geometry.PRISM:
+        # lowest-order wedge Nédélec (ND_WedgeElement order 1,
+        # fem/fe/fe_nd.hpp:343 = ND_tri ⊗ H1_seg ⊕ H1_tri ⊗ ND_seg):
+        # horizontal edges carry 2D Whitney × {1−z, z}; vertical edges
+        # carry λ_base · ẑ.  Edge dofs ∫_e E·t are bi-orthonormal by the
+        # same arguments as on the tri/hex (cross-moments vanish).
+        from .basis import prism_rule
+
+        pts, _ = prism_rule(nq1d)
+        lam2 = np.stack(
+            [1.0 - pts[:, 0] - pts[:, 1], pts[:, 0], pts[:, 1]], axis=1)
+        grad2 = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+        z = pts[:, 2]
+        edges = EDGES[geom]
+        B = np.zeros((len(pts), len(edges), 3))
+        C = np.zeros((len(pts), len(edges), 3))
+        for k, (a, b) in enumerate(edges):
+            if (a < 3) == (b < 3):                     # horizontal edge
+                a2, b2 = a % 3, b % 3
+                W = (lam2[:, a2, None] * grad2[b2]
+                     - lam2[:, b2, None] * grad2[a2])  # (nq, 2)
+                h = z if a >= 3 else 1.0 - z
+                dh = 1.0 if a >= 3 else -1.0
+                B[:, k, :2] = W * h[:, None]
+                # ∇×(W_x h, W_y h, 0) = (−W_y h′, W_x h′, curl₂(W)·h)
+                C[:, k, 0] = -W[:, 1] * dh
+                C[:, k, 1] = W[:, 0] * dh
+                C[:, k, 2] = 2.0 * (grad2[a2][0] * grad2[b2][1]
+                                    - grad2[a2][1] * grad2[b2][0]) * h
+            else:                                       # vertical edge
+                lo = a % 3
+                sgn = 1.0 if b > a else -1.0            # oriented a→b
+                B[:, k, 2] = sgn * lam2[:, lo]
+                # ∇×(0,0,λ) = (∂_y λ, −∂_x λ, 0)
+                C[:, k, 0] = sgn * grad2[lo][1]
+                C[:, k, 1] = -sgn * grad2[lo][0]
+        return pts, B, C
     pts, _ = tensor_rule(dim, nq1d)
     edges = EDGES[geom]
     rv = REF_VERTS[geom]
@@ -147,6 +184,31 @@ def rt0_basis(geom: Geometry, nq1d: int) -> Tuple[np.ndarray, np.ndarray, np.nda
             opp = (allv - set(fverts)).pop()
             B[:, k] = c * (pts - rv[opp])
             D[:, k] = c * dim
+        return pts, B, D
+    if geom == Geometry.PRISM:
+        # lowest-order wedge Raviart-Thomas (RT_WedgeElement order 1,
+        # fem/fe/fe_rt.hpp:280): tri faces carry 2(z−1)ẑ / 2z ẑ (unit
+        # outward flux through the z=0/z=1 triangles, zero through the
+        # quads); quad faces carry the extruded 2D RT0-triangle edge
+        # function (x⃗₂D − v_opp, 0) — unit flux through its own quad,
+        # zero through every other face.
+        from .basis import prism_rule
+
+        pts, _ = prism_rule(nq1d)
+        faces = FACES[geom]
+        rv = REF_VERTS[geom]
+        B = np.zeros((len(pts), len(faces), 3))
+        D = np.zeros((len(pts), len(faces)))
+        for k, fverts in enumerate(faces):
+            if len(fverts) == 3:
+                at_top = rv[list(fverts)][:, 2].mean() > 0.5
+                B[:, k, 2] = 2.0 * (pts[:, 2] if at_top else pts[:, 2] - 1.0)
+                D[:, k] = 2.0
+            else:
+                base = {v % 3 for v in fverts}          # the 2 base vertices
+                opp = ({0, 1, 2} - base).pop()
+                B[:, k, :2] = pts[:, :2] - rv[opp][:2]
+                D[:, k] = 2.0
         return pts, B, D
     pts, _ = tensor_rule(dim, nq1d)
     faces = FACES[geom]

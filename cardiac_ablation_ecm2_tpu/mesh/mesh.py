@@ -427,13 +427,23 @@ def unique_edges(mesh: Mesh) -> Tuple[np.ndarray, np.ndarray]:
 
 def unique_faces(mesh: Mesh) -> Tuple[np.ndarray, np.ndarray]:
     """Unique mesh faces (3D). Returns (faces (nface, fv) as sorted vertex
-    tuples, elem_face (ne, n_loc_faces))."""
-    loc = np.array(FACES[mesh.geom], dtype=np.int64)
-    fv = mesh.elements[:, loc]                      # (ne, nlf, fnv)
-    fv_sorted = np.sort(fv, axis=2)
-    flat = fv_sorted.reshape(-1, fv.shape[2])
+    tuples, elem_face (ne, n_loc_faces)).
+
+    Mixed-arity geometries (the wedge's 2 tris + 3 quads): keys are
+    left-padded with −1 to the widest face, so tri and quad faces coexist
+    in one table without colliding."""
+    loc_list = FACES[mesh.geom]
+    w = max(len(f) for f in loc_list)
+    keys = []
+    for f in loc_list:
+        s = np.sort(mesh.elements[:, list(f)], axis=1)
+        if s.shape[1] < w:
+            pad = np.full((len(s), w - s.shape[1]), -1, dtype=s.dtype)
+            s = np.concatenate([pad, s], axis=1)
+        keys.append(s)
+    flat = np.stack(keys, axis=1).reshape(-1, w)    # (ne·nlf, w)
     uniq, inv = np.unique(flat, axis=0, return_inverse=True)
-    return uniq, inv.reshape(mesh.ne, len(loc))
+    return uniq, inv.reshape(mesh.ne, len(loc_list))
 
 
 # ----------------------------------------------------------------------------
