@@ -112,7 +112,46 @@ def nd0_basis(geom: Geometry, nq1d: int) -> Tuple[np.ndarray, np.ndarray, np.nda
                 C[:, k, 0] = sgn * grad2[lo][1]
                 C[:, k, 1] = -sgn * grad2[lo][0]
         return pts, B, C
+    if geom == Geometry.PYRAMID:
+        # lowest-order pyramid Nédélec via the Gradinaru–Hiptmair degenerate
+        # -hex construction (the composite/rational Whitney pyramid; MFEM's
+        # arbitrary-order analog is ND_FuentesPyramidElement,
+        # fem/fe/fe_nd.hpp:427): covariant pullback of the hex ND0 basis
+        # through the collapse map Φ(u,v,w) = (u(1−w), v(1−w), w), keeping
+        # the 8 functions of the non-degenerate edges (4 base + 4 slant).
+        # Covariance preserves edge tangential moments, so the dofs stay
+        # bi-orthonormal; conformity of the composite element is the GH
+        # theorem.  Quadrature points keep z < 1, away from the apex pole.
+        from .basis import pyramid_rule
+
+        pts, _ = pyramid_rule(nq1d)
+        om = 1.0 - pts[:, 2]
+        u, v = pts[:, 0] / om, pts[:, 1] / om
+        hexpts = np.stack([u, v, pts[:, 2]], axis=1)
+        Bh, Ch = _tensor_nd0_tables(Geometry.CUBE, hexpts)
+        keep = [0, 1, 2, 3, 8, 9, 10, 11]     # base + vertical hex edges
+        Bh, Ch = Bh[:, keep], Ch[:, keep]
+        B = np.zeros_like(Bh)
+        C = np.zeros_like(Ch)
+        o = om[:, None]
+        # E = DΦ^{-T} Ê with DΦ^{-T} = [[1/ω,0,0],[0,1/ω,0],[u/ω,v/ω,1]]
+        B[..., 0] = Bh[..., 0] / o
+        B[..., 1] = Bh[..., 1] / o
+        B[..., 2] = (u[:, None] * Bh[..., 0] + v[:, None] * Bh[..., 1]) / o \
+            + Bh[..., 2]
+        # curl E = DΦ (∇̂×Ê)/det,  det = ω²
+        C[..., 0] = (om[:, None] * Ch[..., 0] - u[:, None] * Ch[..., 2]) / o**2
+        C[..., 1] = (om[:, None] * Ch[..., 1] - v[:, None] * Ch[..., 2]) / o**2
+        C[..., 2] = Ch[..., 2] / o**2
+        return pts, B, C
     pts, _ = tensor_rule(dim, nq1d)
+    B, C = _tensor_nd0_tables(geom, pts)
+    return pts, B, C
+
+
+def _tensor_nd0_tables(geom: Geometry, pts: np.ndarray):
+    """Tensor-geometry ND0 basis/curl tables at arbitrary points."""
+    dim = DIMENSION[geom]
     edges = EDGES[geom]
     rv = REF_VERTS[geom]
     nd = len(edges)
@@ -149,7 +188,7 @@ def nd0_basis(geom: Geometry, nq1d: int) -> Tuple[np.ndarray, np.ndarray, np.nda
                 i = 3 - j - d                          # the remaining axis
                 eps = _levi(i, j, d)
                 C[:, k, i] += eps * sgn * dlam[j]
-    return pts, B, C
+    return B, C
 
 
 def _levi(i, j, k):
@@ -185,6 +224,64 @@ def rt0_basis(geom: Geometry, nq1d: int) -> Tuple[np.ndarray, np.ndarray, np.nda
             B[:, k] = c * (pts - rv[opp])
             D[:, k] = c * dim
         return pts, B, D
+    if geom == Geometry.PYRAMID:
+        # lowest-order pyramid Raviart-Thomas (MFEM's arbitrary-order analog
+        # is RT_FuentesPyramidElement, fem/fe/fe_rt.hpp:346).  Unlike ND0,
+        # the degenerate-hex Piola pullback does NOT contain constants, so
+        # the element is built directly: span {ê_x, ê_y, ê_z, r,
+        # s = (1 − x/(1−z), 0, 0)}.  Every member has a CONSTANT normal
+        # trace on every (planar) face — s·(1,0,1) ≡ 0 on the slant x+z=1
+        # since x/(1−z) = 1 there, and s·(−1,0,0) = −1 on x=0 — so the
+        # assembled space is H(div)-conforming against tet/hex/wedge RT0
+        # neighbors, with P0³ ⊕ span{r} ⊂ V (div ∋ constants).  Symmetric
+        # generator choices (e.g. ((1−z)x, (1−z)y, −(1−z)²)) all contain a
+        # zero-flux bubble (r − ê_z − that), so unisolvence forces the
+        # x-rational pick; the x↔y asymmetry affects only the interior
+        # span, never the P0 face traces.  Basis = flux-dual combination
+        # (5×5 Vandermonde of face fluxes).
+        from .basis import pyramid_rule
+
+        pts, _ = pyramid_rule(nq1d)
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        one, zero = np.ones_like(z), np.zeros_like(z)
+        gens = np.stack([
+            np.stack([one, zero, zero], -1),
+            np.stack([zero, one, zero], -1),
+            np.stack([zero, zero, one], -1),
+            np.stack([x, y, z], -1),
+            np.stack([1.0 - x / (1 - z), zero, zero], -1),
+        ], axis=1)                                    # (nq, 5, 3)
+        gdiv = np.stack([zero, zero, zero, 3 * one, -1.0 / (1 - z)], axis=1)
+        # face fluxes of the generators: constant trace × area, evaluated
+        # at the face centroid with the outward normal
+        rv = REF_VERTS[geom]
+        faces = FACES[geom]
+        V5 = np.zeros((5, 5))                         # V5[i,j] = flux_i(G_j)
+        cent_el = rv.mean(axis=0)
+
+        def gen_at(p):
+            px, py, pz = p
+            return np.array([
+                [1, 0, 0], [0, 1, 0], [0, 0, 1], [px, py, pz],
+                [1.0 - px / (1 - pz), 0, 0]])
+
+        for i, fverts in enumerate(faces):
+            fv = rv[list(fverts)]
+            c = fv.mean(axis=0)
+            if len(fverts) == 4:
+                nvec = np.cross(fv[1] - fv[0], fv[3] - fv[0])
+                area = abs(np.linalg.norm(nvec))      # unit-square base
+            else:
+                nvec = np.cross(fv[1] - fv[0], fv[2] - fv[0])
+                area = 0.5 * np.linalg.norm(nvec)
+            n = nvec / np.linalg.norm(nvec)
+            if np.dot(n, c - cent_el) < 0:
+                n = -n
+            V5[i] = gen_at(c) @ n * area
+        C5 = np.linalg.inv(V5)                        # basis = Σ_j C5[j,i] G_j
+        B = np.einsum("qjd,ji->qid", gens, C5)
+        D = np.einsum("qj,ji->qi", gdiv, C5)
+        return pts, B, D
     if geom == Geometry.PRISM:
         # lowest-order wedge Raviart-Thomas (RT_WedgeElement order 1,
         # fem/fe/fe_rt.hpp:280): tri faces carry 2(z−1)ẑ / 2z ẑ (unit
@@ -211,6 +308,13 @@ def rt0_basis(geom: Geometry, nq1d: int) -> Tuple[np.ndarray, np.ndarray, np.nda
                 D[:, k] = 2.0
         return pts, B, D
     pts, _ = tensor_rule(dim, nq1d)
+    B, D = _tensor_rt0_tables(geom, pts)
+    return pts, B, D
+
+
+def _tensor_rt0_tables(geom: Geometry, pts: np.ndarray):
+    """Tensor-geometry RT0 basis/divergence tables at arbitrary points."""
+    dim = DIMENSION[geom]
     faces = FACES[geom]
     rv = REF_VERTS[geom]
     nf = len(faces)
@@ -228,7 +332,7 @@ def rt0_basis(geom: Geometry, nq1d: int) -> Tuple[np.ndarray, np.ndarray, np.nda
         else:
             B[:, k, d] = pts[:, d] - 1.0
             D[:, k] = 1.0
-    return pts, B, D
+    return B, D
 
 
 # ----------------------------------------------------------------------------
