@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 V5E_HBM_GBS = 819.0
@@ -142,6 +144,31 @@ def main():
 
     t_fused, _ = report("fused lhs apply  ", jax.jit(fused_once), u, big)
     t_apply = t_fused                      # use the real body for shares
+
+    # -- analytic logical bytes (honest roofline numerator, VERDICT r4 #8):
+    # the XLA "bytes accessed" counter prices every fusion-boundary buffer;
+    # these two analytic floors bound the NECESSARY traffic instead.
+    #   logical-min    = dof vectors + qdata (perfect single-pass fusion)
+    #   logical-staged = + E/Q planes materialized once per pipeline stage
+    #                    (gather→interp→qdata→interpᵀ→scatter, fwd+bwd)
+    # byte amplification = XLA-counted / logical-staged: the traffic the
+    # achieved fusion carries beyond the stage-wise floor — the remaining
+    # optimization frontier (the apply is HBM-saturated at its achieved
+    # fusion; headroom is traffic reduction, not scheduling).
+    Bf = 4.0
+    nq_ = int(op.Mrc_qd.shape[-1])
+    ndl_ = int(fes.gather_map.shape[1]) if hasattr(fes, "gather_map") \
+        else (order + 1) ** 3
+    qd_bytes = float(np.prod(op.Mrc_qd.shape) + np.prod(op.K_qd.shape)) * Bf
+    dof_bytes = 2.0 * fes.ndof * Bf
+    plane_bytes = (4.0 * mesh.ne * ndl_ + 4.0 * mesh.ne * nq_
+                   + 4.0 * mesh.ne * nq_ * 3) * Bf
+    lo_min = dof_bytes + qd_bytes
+    lo_staged = lo_min + plane_bytes
+    print(f"logical bytes/apply: min {lo_min/1e9:.3f} GB "
+          f"({lo_min/t_fused/1e9:5.1f} GB/s) | staged {lo_staged/1e9:.3f} GB "
+          f"({lo_staged/t_fused/1e9:5.1f} GB/s, "
+          f"{100*lo_staged/t_fused/1e9/V5E_HBM_GBS:4.1f}% HBM peak)")
 
     # restriction round trip alone (L→E gather + E→L scatter)
     restr = op.restr
